@@ -1,0 +1,81 @@
+"""Attack losses: CW margin ('logits') and cross-entropy, targeted/untargeted.
+
+Reference: adil.py:103-112 (``f_loss``), criterion construction at
+adil.py:146 / :544 and the ``coeff`` sign convention (adil.py:128).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cw_margin_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    kappa: float = 50.0,
+    targeted: bool = False,
+) -> jax.Array:
+    """Carlini-Wagner margin loss, per-sample.
+
+    Untargeted: clamp(logit[label] - max_{c != label} logit[c], min=-kappa) —
+    minimizing drives the true-class logit below the runner-up.
+    Targeted (labels = target class): clamp(max_{c != t} logit[c] - logit[t],
+    min=-kappa).
+
+    Reference: adil.py:103-112 (``f_loss``). The reference materializes a
+    CPU-side eye matrix per call; here the one-hot mask is traced in-graph.
+    """
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    true_logit = jnp.sum(logits * one_hot, axis=-1)
+    # Largest non-true logit: mask the true class to -inf.
+    masked = jnp.where(one_hot > 0, -jnp.inf, logits)
+    runner_up = jnp.max(masked, axis=-1)
+    if targeted:
+        margin = runner_up - true_logit
+    else:
+        margin = true_logit - runner_up
+    return jnp.maximum(margin, -kappa)
+
+
+def cross_entropy_sum(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Sum-reduced softmax cross entropy (reference uses reduction='sum')."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll)
+
+
+def cross_entropy_mean(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean-reduced softmax cross entropy (reference DDP / inference path)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def attack_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    loss: str = "ce",
+    targeted: bool = False,
+    kappa: float = 50.0,
+    reduction: str = "sum",
+) -> jax.Array:
+    """Dispatch on the reference's two loss modes.
+
+    'ce':     coeff * CE with coeff = +1 targeted / -1 untargeted
+              (adil.py:128, :179-180).
+    'logits': CW margin summed (adil.py:181-182); sign handled inside the
+              margin itself, no coeff.
+    """
+    if loss == "ce":
+        coeff = 1.0 if targeted else -1.0
+        if reduction == "mean":
+            return coeff * cross_entropy_mean(logits, labels)
+        return coeff * cross_entropy_sum(logits, labels)
+    if loss == "logits":
+        margins = cw_margin_loss(logits, labels, kappa=kappa, targeted=targeted)
+        if reduction == "mean":
+            return jnp.mean(margins)
+        return jnp.sum(margins)
+    raise ValueError(f"unknown loss: {loss}")
