@@ -1,0 +1,154 @@
+"""Victim model zoo: Flax/NHWC classifiers + frozen-victim wrapper.
+
+Mirrors the reference's model-selection block (main.py:40-58 /
+demo_dL_attack.py:41-59): a name picks a classifier, an in-graph
+normalization layer is prepended, and the result is a frozen function from
+[0,1] pixel-space images to logits. Gradients flow *through* the victim to
+the perturbation parameters, never to its weights — so the wrapper exposes a
+pure ``apply_fn`` that attacks can close over under ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .densenet import densenet121, densenet169
+from .googlenet import googlenet
+from .inception import inception_v3
+from .layers import IMAGENET_MEAN, IMAGENET_STD, Normalize
+from .mobilenet import mobilenet_v2
+from .resnet import resnet18, resnet34, resnet50
+from .tiny import tiny_cnn
+from .vgg import vgg11, vgg16, vgg19
+from .vit import vit_b16, vit_tiny
+
+# name -> (constructor, default input size). The short aliases match the
+# reference CLI names (main.py:41-52: 'resnet' means resnet18, etc.).
+MODEL_REGISTRY = {
+    "resnet": (resnet18, 224),
+    "resnet18": (resnet18, 224),
+    "resnet34": (resnet34, 224),
+    "resnet50": (resnet50, 224),
+    "densenet": (densenet121, 224),
+    "densenet121": (densenet121, 224),
+    "densenet169": (densenet169, 224),
+    "googlenet": (googlenet, 224),
+    "inception": (inception_v3, 299),
+    "inception_v3": (inception_v3, 299),
+    "mobilenet": (mobilenet_v2, 224),
+    "mobilenet_v2": (mobilenet_v2, 224),
+    "vgg": (vgg11, 224),
+    "vgg11": (vgg11, 224),
+    "vgg16": (vgg16, 224),
+    "vgg19": (vgg19, 224),
+    "vit": (vit_b16, 224),
+    "vit_b16": (vit_b16, 224),
+    "vit_tiny": (vit_tiny, 224),
+    "tiny": (tiny_cnn, 32),
+}
+
+
+@dataclasses.dataclass
+class VictimModel:
+    """A frozen classifier over [0,1] NHWC images.
+
+    ``apply_fn(variables, x)`` is pure (safe to close over in jit); the
+    convenience ``__call__`` binds the stored variables.
+    """
+
+    name: str
+    module: Any
+    variables: Any
+    input_size: int
+    num_classes: int
+    apply_fn: Callable[[Any, jax.Array], jax.Array]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply_fn(self.variables, x)
+
+    def predict(self, x: jax.Array) -> jax.Array:
+        """Hard labels — the reference constantly re-labels with
+        ``model(x).argmax`` (adil.py:172 etc.)."""
+        return jnp.argmax(self(x), axis=-1)
+
+
+def create_model(
+    name: str,
+    num_classes: int = 1000,
+    dtype=jnp.float32,
+    rng: Optional[jax.Array] = None,
+    input_size: Optional[int] = None,
+    normalize: bool = True,
+    variables: Any = None,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+) -> VictimModel:
+    """Build a victim by registry name, with ImageNet normalization in-graph.
+
+    If ``variables`` is None the model is randomly initialized (no pretrained
+    weights ship in this environment; use ``models.convert`` to import a
+    torch checkpoint).
+    """
+    key = name.lower()
+    if key not in MODEL_REGISTRY:
+        raise ValueError(f"unknown model '{name}'; known: {sorted(MODEL_REGISTRY)}")
+    ctor, default_size = MODEL_REGISTRY[key]
+    size = input_size or default_size
+    if key == "tiny":
+        module = ctor(num_classes=min(num_classes, 10), dtype=dtype)
+        norm = False
+    else:
+        module = ctor(num_classes=num_classes, dtype=dtype)
+        norm = normalize
+    if variables is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, size, size, 3), dtype)
+        variables = module.init(rng, dummy)
+
+    if norm:
+        mean_arr = jnp.asarray(mean).reshape(1, 1, 1, -1)
+        std_arr = jnp.asarray(std).reshape(1, 1, 1, -1)
+
+        def apply_fn(vars_, x):
+            xn = (x - mean_arr.astype(x.dtype)) / std_arr.astype(x.dtype)
+            return module.apply(vars_, xn)
+
+    else:
+
+        def apply_fn(vars_, x):
+            return module.apply(vars_, x)
+
+    return VictimModel(
+        name=key,
+        module=module,
+        variables=variables,
+        input_size=size,
+        num_classes=module.num_classes,
+        apply_fn=apply_fn,
+    )
+
+
+__all__ = [
+    "MODEL_REGISTRY",
+    "VictimModel",
+    "create_model",
+    "Normalize",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "densenet121",
+    "densenet169",
+    "googlenet",
+    "inception_v3",
+    "mobilenet_v2",
+    "vgg11",
+    "vgg16",
+    "vgg19",
+    "vit_b16",
+    "vit_tiny",
+    "tiny_cnn",
+]

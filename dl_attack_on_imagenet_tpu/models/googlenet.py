@@ -1,0 +1,70 @@
+"""GoogLeNet (Inception v1) — Flax/NHWC victim classifier.
+
+Parity target: torchvision googlenet (reference victim, main.py:45-46).
+Aux classifiers are omitted — victims only ever run frozen in eval mode
+(adil.py:68), where torchvision disables them too.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import ConvBN, global_avg_pool, max_pool
+
+
+class InceptionBlock(nn.Module):
+    c1: int
+    c3r: int
+    c3: int
+    c5r: int
+    c5: int
+    pool_proj: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = ConvBN(self.c1, (1, 1), dtype=self.dtype)(x)
+        b2 = ConvBN(self.c3r, (1, 1), dtype=self.dtype)(x)
+        b2 = ConvBN(self.c3, (3, 3), dtype=self.dtype)(b2)
+        b3 = ConvBN(self.c5r, (1, 1), dtype=self.dtype)(x)
+        # torchvision's googlenet actually uses a 3x3 here (a known quirk of
+        # its port); we keep 3x3 for weight-compatibility.
+        b3 = ConvBN(self.c5, (3, 3), dtype=self.dtype)(b3)
+        b4 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b4 = ConvBN(self.pool_proj, (1, 1), dtype=self.dtype)(b4)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class GoogLeNet(nn.Module):
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype)(x)
+        x = max_pool(x, (3, 3), (2, 2))
+        x = ConvBN(64, (1, 1), dtype=self.dtype)(x)
+        x = ConvBN(192, (3, 3), dtype=self.dtype)(x)
+        x = max_pool(x, (3, 3), (2, 2))
+
+        x = InceptionBlock(64, 96, 128, 16, 32, 32, dtype=self.dtype)(x)     # 3a
+        x = InceptionBlock(128, 128, 192, 32, 96, 64, dtype=self.dtype)(x)   # 3b
+        x = max_pool(x, (3, 3), (2, 2))
+        x = InceptionBlock(192, 96, 208, 16, 48, 64, dtype=self.dtype)(x)    # 4a
+        x = InceptionBlock(160, 112, 224, 24, 64, 64, dtype=self.dtype)(x)   # 4b
+        x = InceptionBlock(128, 128, 256, 24, 64, 64, dtype=self.dtype)(x)   # 4c
+        x = InceptionBlock(112, 144, 288, 32, 64, 64, dtype=self.dtype)(x)   # 4d
+        x = InceptionBlock(256, 160, 320, 32, 128, 128, dtype=self.dtype)(x) # 4e
+        x = max_pool(x, (2, 2), (2, 2))
+        x = InceptionBlock(256, 160, 320, 32, 128, 128, dtype=self.dtype)(x) # 5a
+        x = InceptionBlock(384, 192, 384, 48, 128, 128, dtype=self.dtype)(x) # 5b
+
+        x = global_avg_pool(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+
+
+def googlenet(num_classes: int = 1000, dtype=jnp.float32) -> GoogLeNet:
+    return GoogLeNet(num_classes=num_classes, dtype=dtype)
