@@ -1,0 +1,77 @@
+"""Headline benchmark: ADiL attack iterations/sec/chip (ResNet-50, batch 64).
+
+One attack iteration = one projected-AdamW step of dictionary learning
+against a frozen bf16 ResNet-50: forward of x + Dv through the victim,
+backward to (D, v), AdamW update, budget projections — the reference's hot
+loop (adil.py:168-191) at the BASELINE.md operating point (eps=8/255, linf,
+K=100, CW loss, batch 100->64 per BASELINE.json's metric definition).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The baseline
+used here is 6.5 it/s — a literature-typical single-V100 fwd+bwd throughput
+for ResNet-50 at batch 64 in eager PyTorch, i.e. a *generous* stand-in for
+the reference's per-iteration cost (its real loop adds unjitted Python
+overhead, per-call CPU->GPU eye materialization, and synchronous metric
+reads).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_ITERS_PER_SEC = 6.5
+
+
+def main():
+    from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+    from dl_attack_on_imagenet_tpu.attacks.adil_core import AdilConfig
+    from dl_attack_on_imagenet_tpu.models import create_model
+
+    batch = 64
+    cfg = AdilConfig(
+        eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
+        step_size=0.01, batch_size=batch,
+    )
+    victim = create_model("resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    images = jax.random.uniform(k1, (batch, 224, 224, 3))
+    state = core.init_state(k2, (224, 224, 3), batch, cfg)
+    labels = core.predict_labels(victim.apply_fn, victim.variables, images)
+    step = jax.jit(core.make_train_step(victim.apply_fn, cfg, "both"))
+
+    idx = jnp.arange(batch)
+    mask = jnp.ones((batch,))
+
+    # Warmup / compile.
+    state, loss, fooling = step(state, victim.variables, images, labels, idx, mask)
+    jax.block_until_ready(state.d)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, loss, fooling = step(state, victim.variables, images, labels, idx, mask)
+    jax.block_until_ready(state.d)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    iters_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "adil_attack_iters_per_sec_per_chip_resnet50_b64",
+                "value": round(iters_per_sec, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

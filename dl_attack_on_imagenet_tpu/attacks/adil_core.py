@@ -1,0 +1,477 @@
+"""ADiL functional core: jit-compiled dictionary learning + inference.
+
+Everything here is a pure function of (state, data, rng) suitable for
+``jax.jit`` / ``lax.scan`` / ``shard_map``. The class wrapper in
+``attacks/adil.py`` provides the reference-shaped API on top.
+
+Reference semantics implemented (file:line into /root/reference):
+- joint AdamW dictionary learning       adil.py:114-210 (learn_dictionary_a)
+- alternating v-step / d-step           adil.py:212-332 (learn_dictionary_b)
+- projected-AdamW update order (optimizer step, THEN projection)
+                                        adil.py:185-188
+- training-time re-labeling with the model's own prediction
+                                        adil.py:172
+- z-space inference ("DDrague")         adil.py:508-567
+- v-space AdamW inference               adil.py:569-623
+- unsupervised sphere-sampling inference adil.py:460-506 (intent, see note)
+- code/dictionary initialization        adil.py:144-150, :240-241, :368-373
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..ops import (
+    attack_loss,
+    clamp_image,
+    dict_apply,
+    dict_pinv,
+    codes_from_pinv,
+    linf_clamp,
+    project_codes,
+    project_dictionary,
+)
+
+ApplyFn = Callable[[Any, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class AdilConfig:
+    """Static attack hyper-parameters (closed over by jitted functions).
+
+    Defaults follow the reference operating point (BASELINE.md):
+    demo_dL_attack.py:88-94 and adil.py:63-66.
+    """
+
+    eps: float = 8 / 255
+    norm: str = "linf"  # 'linf' | 'l2'
+    n_atoms: int = 100
+    loss: str = "ce"  # 'ce' | 'logits'
+    kappa: float = 50.0
+    targeted: bool = False
+    step_size: float = 0.01
+    steps: int = 500
+    steps_inner: int = 1
+    batch_size: int = 100
+    trials: int = 10
+    steps_inference: int = 30
+    steps_code: int = 100  # inner v-solver iterations (adil.py:592: fixed 100)
+    code_lr: float = 1e-2  # inference-time AdamW lr (adil.py:531, :589)
+    tol: float = 1e-6
+
+    @property
+    def coeff(self) -> float:
+        # Targeted maximizes target-class likelihood; untargeted flips CE.
+        return 1.0 if self.targeted else -1.0
+
+
+class AdilState(struct.PyTreeNode):
+    """Learnable attack state: dictionary + per-image codes + optimizer."""
+
+    d: jax.Array  # (K, H, W, C)
+    v: jax.Array  # (N, K)
+    opt_state: Any
+    epoch: jax.Array  # scalar int32
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_dictionary(key: jax.Array, image_shape, cfg: AdilConfig) -> jax.Array:
+    """D init: linf -> U(-1,1); l2 -> unit-ball-projected Gaussian.
+
+    Reference: adil.py:144-150.
+    """
+    shape = (cfg.n_atoms,) + tuple(image_shape)
+    if cfg.norm == "l2":
+        return project_dictionary(jax.random.normal(key, shape), "l2")
+    return jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+
+
+def init_codes(key: jax.Array, n_img: int, cfg: AdilConfig, mode: str = "gd") -> jax.Array:
+    """v init per training mode.
+
+    gd: projected U(0,1) (adil.py:150); alter: projected zeros (adil.py:241);
+    distributed: projected Gaussian (adil.py:373).
+    """
+    if mode == "alter":
+        raw = jnp.zeros((n_img, cfg.n_atoms))
+    elif mode == "distributed":
+        raw = jax.random.normal(key, (n_img, cfg.n_atoms))
+    else:
+        raw = jax.random.uniform(key, (n_img, cfg.n_atoms))
+    return project_codes(raw, cfg.eps, cfg.norm)
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """AdamW with torch defaults (betas 0.9/0.999, eps 1e-8, wd 1e-2) —
+    matching ``torch.optim.AdamW`` as used at adil.py:154."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+
+
+def init_state(
+    key: jax.Array,
+    image_shape,
+    n_img: int,
+    cfg: AdilConfig,
+    mode: str = "gd",
+    d_init: Optional[jax.Array] = None,
+) -> AdilState:
+    kd, kv = jax.random.split(key)
+    d = init_dictionary(kd, image_shape, cfg) if d_init is None else d_init
+    v = init_codes(kv, n_img, cfg, mode)
+    if mode == "alter":
+        opt_state = {
+            "d": make_optimizer(2 * cfg.step_size).init(d),
+            "v": make_optimizer(cfg.step_size).init(v),
+        }
+    else:
+        opt_state = make_optimizer(cfg.step_size).init({"d": d, "v": v})
+    return AdilState(d=d, v=v, opt_state=opt_state, epoch=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Training steps
+# ---------------------------------------------------------------------------
+
+
+def _batch_loss(
+    apply_fn: ApplyFn,
+    variables: Any,
+    d: jax.Array,
+    v_rows: jax.Array,
+    x: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array,
+    cfg: AdilConfig,
+):
+    """Summed attack loss over one (masked) batch + fooling count.
+
+    Training applies NO pixel clamp on x+dv (reference Attack_dict_model
+    forward, adil.py:24-26).
+    """
+    dv = dict_apply(v_rows, d)
+    logits = apply_fn(variables, x + dv).astype(jnp.float32)
+    if cfg.loss == "ce":
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        per = cfg.coeff * per
+    else:
+        from ..ops import cw_margin_loss
+
+        per = cw_margin_loss(logits, labels, kappa=cfg.kappa, targeted=cfg.targeted)
+    loss = jnp.sum(per * mask)
+    fooling = jnp.sum((jnp.argmax(logits, -1) != labels) * mask)
+    return loss, fooling
+
+
+def predict_labels(apply_fn: ApplyFn, variables: Any, images: jax.Array,
+                   batch_size: int = 256) -> jax.Array:
+    """Clean-model predictions for a whole dataset, one pass.
+
+    The reference re-labels every batch with ``model(x).argmax`` inside the
+    training loop (adil.py:172) — a full extra forward per step whose result
+    never changes for a frozen model on fixed images. Computing it once here
+    is output-identical and removes a third of the per-step FLOPs.
+    """
+    fwd = jax.jit(lambda v, x: jnp.argmax(apply_fn(v, x).astype(jnp.float32), -1))
+    n = images.shape[0]
+    out = []
+    for start in range(0, n, batch_size):
+        out.append(fwd(variables, images[start : start + batch_size]))
+    return jnp.concatenate(out)
+
+
+def make_train_step(
+    apply_fn: ApplyFn,
+    cfg: AdilConfig,
+    update: str = "both",  # 'both' | 'v' | 'd'
+):
+    """Build one projected-AdamW training step over a batch of images.
+
+    Batch = (x, labels, idx, mask): images, their precomputed clean-model
+    labels (see :func:`predict_labels`), global row indices into v, and a
+    0/1 mask for padded slots. Projection runs AFTER the optimizer step
+    (adil.py:185-188).
+    """
+    joint_opt = make_optimizer(cfg.step_size)
+    opt_v = make_optimizer(cfg.step_size)
+    opt_d = make_optimizer(2 * cfg.step_size)
+
+    def step(state: AdilState, variables: Any, x, labels, idx, mask):
+        def loss_fn(params):
+            v_rows = params["v"][idx]
+            return _batch_loss(
+                apply_fn, variables, params["d"], v_rows, x, labels, mask, cfg
+            )
+
+        params = {"d": state.d, "v": state.v}
+        (loss, fooling), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if update == "both":
+            updates, opt_state = joint_opt.update(grads, state.opt_state, params)
+            params = optax.apply_updates(params, updates)
+            d_new, v_new = params["d"], params["v"]
+        elif update == "v":
+            upd, new_v_state = opt_v.update(grads["v"], state.opt_state["v"], state.v)
+            v_new = optax.apply_updates(state.v, upd)
+            d_new = state.d
+            opt_state = {"d": state.opt_state["d"], "v": new_v_state}
+        else:  # 'd'
+            upd, new_d_state = opt_d.update(grads["d"], state.opt_state["d"], state.d)
+            d_new = optax.apply_updates(state.d, upd)
+            v_new = state.v
+            opt_state = {"d": new_d_state, "v": state.opt_state["v"]}
+
+        # Projections: v onto the budget ball (all rows, adil.py:29-31), d
+        # onto the norm constraint (adil.py:33-35).
+        if update in ("both", "v"):
+            v_new = project_codes(v_new, cfg.eps, cfg.norm)
+        if update in ("both", "d"):
+            d_new = project_dictionary(d_new, cfg.norm)
+
+        new_state = state.replace(d=d_new, v=v_new, opt_state=opt_state)
+        return new_state, loss, fooling
+
+    return step
+
+
+def make_epoch_fn(
+    apply_fn: ApplyFn,
+    cfg: AdilConfig,
+    update: str = "both",
+):
+    """One full epoch as a single jitted scan over pre-batched indices.
+
+    ``batches`` is (n_batches, B) int32 of image indices, -1 for padding.
+    All images and clean labels stay resident in HBM; each scan step gathers
+    its batch rows — no host transfers inside the epoch.
+    """
+    step_fn = make_train_step(apply_fn, cfg, update)
+
+    @partial(jax.jit, static_argnames=())
+    def epoch(state: AdilState, variables: Any, images: jax.Array,
+              labels: jax.Array, batches: jax.Array):
+        def body(carry, batch_idx):
+            st = carry
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            idx = jnp.maximum(batch_idx, 0)
+            x = images[idx]
+            st, loss, fooling = step_fn(st, variables, x, labels[idx], idx, mask)
+            return st, (loss, fooling)
+
+        state, (losses, foolings) = jax.lax.scan(body, state, batches)
+        state = state.replace(epoch=state.epoch + 1)
+        return state, jnp.sum(losses), jnp.sum(foolings)
+
+    return epoch
+
+
+def make_batches(key: jax.Array, n_img: int, batch_size: int) -> jax.Array:
+    """Shuffled index batches (n_batches, B), padded with -1."""
+    perm = jax.random.permutation(key, n_img)
+    n_batches = -(-n_img // batch_size)
+    pad = n_batches * batch_size - n_img
+    perm = jnp.concatenate([perm, -jnp.ones((pad,), perm.dtype)])
+    return perm.reshape(n_batches, batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Inference: supervised z-space ("DDrague")
+# ---------------------------------------------------------------------------
+
+
+def supervised_ddrague(
+    apply_fn: ApplyFn,
+    variables: Any,
+    d: jax.Array,
+    images: jax.Array,
+    cfg: AdilConfig,
+) -> jax.Array:
+    """Optimize an image-shaped z, reading codes off via the pseudo-inverse.
+
+    AdamW(lr=1e-2) on z for <= steps_inference iterations; z clamped to
+    [-eps, eps] after each step; early stop when max|Δz| < tol.
+
+    Reference: adil.py:508-567 (forward_supervised_DDrague).
+    """
+    labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+    d_pinv = dict_pinv(d)
+    opt = make_optimizer(cfg.code_lr)
+
+    def loss_fn(z):
+        v = codes_from_pinv(z, d_pinv)
+        dv = dict_apply(v, d)
+        logits = apply_fn(variables, images + dv).astype(jnp.float32)
+        # Reference uses mean-CE here (adil.py:519) but sum for 'logits'.
+        red = "mean" if cfg.loss == "ce" else "sum"
+        return attack_loss(
+            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=cfg.kappa,
+            reduction=red,
+        )
+
+    z0 = jnp.zeros_like(images)
+
+    def cond(carry):
+        z, _, it, delta = carry
+        return jnp.logical_and(it < cfg.steps_inference, delta >= cfg.tol)
+
+    def body(carry):
+        z, opt_state, it, _ = carry
+        g = jax.grad(loss_fn)(z)
+        updates, opt_state = opt.update(g, opt_state, z)
+        z_new = linf_clamp(optax.apply_updates(z, updates), cfg.eps)
+        delta = jnp.max(jnp.abs(z_new - z))
+        return (z_new, opt_state, it + 1, delta)
+
+    z, _, _, _ = jax.lax.while_loop(
+        cond, body, (z0, opt.init(z0), jnp.zeros((), jnp.int32), jnp.inf)
+    )
+    v = codes_from_pinv(z, d_pinv)
+    adv = images + dict_apply(v, d)
+    return clamp_image(adv)
+
+
+# ---------------------------------------------------------------------------
+# Inference: supervised v-space AdamW
+# ---------------------------------------------------------------------------
+
+
+def supervised_adamw_codes(
+    apply_fn: ApplyFn,
+    variables: Any,
+    d: jax.Array,
+    images: jax.Array,
+    cfg: AdilConfig,
+    return_fooling: bool = False,
+):
+    """Optimize fresh codes v for a batch against a frozen dictionary.
+
+    AdamW(lr=1e-2) + post-step l1/l2-ball projection, <= steps_code iters,
+    early stop on max|Δv| < tol. ``return_fooling=True`` reproduces the
+    'train'-mode validation path (fooling count, adil.py:617-620).
+
+    Reference: adil.py:569-623 (forward_supervised_AdamW).
+    """
+    labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+    opt = make_optimizer(cfg.code_lr)
+    n = images.shape[0]
+    v0 = jnp.zeros((n, cfg.n_atoms))
+
+    def loss_fn(v):
+        dv = dict_apply(v, d)
+        logits = apply_fn(variables, images + dv).astype(jnp.float32)
+        red = "mean" if cfg.loss == "ce" else "sum"
+        return attack_loss(
+            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=cfg.kappa,
+            reduction=red,
+        )
+
+    def cond(carry):
+        v, _, it, delta = carry
+        return jnp.logical_and(it < cfg.steps_code, delta >= cfg.tol)
+
+    def body(carry):
+        v, opt_state, it, _ = carry
+        g = jax.grad(loss_fn)(v)
+        updates, opt_state = opt.update(g, opt_state, v)
+        v_new = project_codes(optax.apply_updates(v, updates), cfg.eps, cfg.norm)
+        delta = jnp.max(jnp.abs(v_new - v))
+        return (v_new, opt_state, it + 1, delta)
+
+    v, _, _, _ = jax.lax.while_loop(
+        cond, body, (v0, opt.init(v0), jnp.zeros((), jnp.int32), jnp.inf)
+    )
+    dv = dict_apply(project_codes(v, cfg.eps, cfg.norm), d)
+    if return_fooling:
+        adv_labels = jnp.argmax(apply_fn(variables, images + dv).astype(jnp.float32), -1)
+        return jnp.sum(adv_labels != labels)
+    return clamp_image(images + dv)
+
+
+# ---------------------------------------------------------------------------
+# Inference: unsupervised sphere sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_sphere(key: jax.Array, n: int, cfg: AdilConfig) -> jax.Array:
+    """Sample codes on the budget sphere.
+
+    l2: uniform cube direction scaled to the eps l2-sphere; linf: entries
+    ~ U(eps, 2eps) projected onto the eps l1-ball (landing on its surface).
+
+    Reference: adil.py:644-655.
+    """
+    if cfg.norm == "l2":
+        var = jax.random.uniform(key, (n, cfg.n_atoms), minval=-1.0, maxval=1.0)
+        nrm = jnp.linalg.norm(var, axis=1, keepdims=True)
+        return cfg.eps * var / jnp.maximum(nrm, 1e-12)
+    raw = jax.random.uniform(
+        key, (n, cfg.n_atoms), minval=cfg.eps, maxval=2 * cfg.eps
+    )
+    return project_codes(raw, cfg.eps, cfg.norm)
+
+
+def unsupervised_sample(
+    apply_fn: ApplyFn,
+    variables: Any,
+    d: jax.Array,
+    images: jax.Array,
+    key: jax.Array,
+    cfg: AdilConfig,
+) -> jax.Array:
+    """Best-of-trials random-code attack.
+
+    Per image, across `trials` draws: once any draw fools the model, keep the
+    minimum-MSE fooling adversary; until then keep the minimum-MSE
+    non-fooling one. dv is clamped to ±eps before the pixel clip.
+
+    Reference: adil.py:460-506 (forward_unsupervised). The reference's
+    per-image bookkeeping has an overwrite quirk (a fooled image's best can
+    be replaced via the no-fool branch, adil.py:499-504) and returns a
+    (tensor, list) tuple its own callers can't consume (SURVEY.md §2.4); the
+    documented intent — vectorized masked updates, tensor return — is
+    implemented here.
+    """
+    pre_labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+    n = images.shape[0]
+
+    init = (
+        jnp.zeros((n,), jnp.bool_),  # fooled flag
+        jnp.full((n,), jnp.inf),  # best mse among fooling advs
+        jnp.full((n,), jnp.inf),  # best mse among non-fooling advs
+        images,  # best adversary so far (clone of input, adil.py:472)
+    )
+
+    keys = jax.random.split(key, cfg.trials)
+
+    def trial(carry, k):
+        fooled, mse_fool, mse_nofool, best = carry
+        v = sample_sphere(k, n, cfg)
+        dv = linf_clamp(dict_apply(v, d), cfg.eps)
+        adv = clamp_image(images + dv)
+        adv_labels = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
+        fooling = adv_labels != pre_labels
+        mse = jnp.sum((images - adv) ** 2, axis=(1, 2, 3))
+
+        take_fool = fooling & (mse < mse_fool)
+        take_nofool = (~fooled) & (~fooling) & (mse < mse_nofool)
+        take = take_fool | take_nofool
+
+        mse_fool = jnp.where(take_fool, mse, mse_fool)
+        mse_nofool = jnp.where(take_nofool, mse, mse_nofool)
+        best = jnp.where(take[:, None, None, None], adv, best)
+        fooled = fooled | fooling
+        return (fooled, mse_fool, mse_nofool, best), None
+
+    (fooled, _, _, best), _ = jax.lax.scan(trial, init, keys)
+    return best

@@ -1,0 +1,208 @@
+"""Data-parallel ADiL dictionary learning over a device mesh.
+
+TPU-native replacement for the reference's DDP path (adil.py:334-430):
+
+- images and per-image codes ``v`` shard along the ``'data'`` mesh axis
+  (the reference shards images with DistributedSampler, adil.py:362-364;
+  ``v`` rows are per-image state and live with their shard);
+- the dictionary ``D`` and its optimizer state replicate; its gradient is
+  ``lax.psum``-reduced over ICI each step (DDP's backward all-reduce,
+  adil.py:411);
+- loss/fooling metrics are ``psum``-reduced in-graph (the explicit
+  ``dist.reduce(SUM)`` calls, adil.py:418-419);
+- each device iterates a shuffled permutation of its own shard
+  (DistributedSampler semantics).
+
+Unlike the reference (whose training loop is accidentally gated to rank 0,
+adil.py:389 — a deadlock, SURVEY.md §2.4), every device runs every step; the
+update applied to D is identical on all devices because the psum'd gradient
+and the replicated optimizer state are.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..attacks import adil_core as core
+from ..attacks.adil_core import AdilConfig
+from ..ops import dict_apply, project_codes, project_dictionary
+
+
+def _spec_like(tree, spec_fn):
+    return jax.tree_util.tree_map(spec_fn, tree)
+
+
+def make_dp_epoch_fn(apply_fn, cfg: AdilConfig, mesh: Mesh, axis: str = "data"):
+    """Build a jitted one-epoch function sharded over ``mesh``.
+
+    Signature: ``epoch(d, opt_d, v, opt_v, images, labels, batches, variables)
+    -> (d, opt_d, v, opt_v, loss_sum, fooling_sum)`` where
+
+    - d: (K, H, W, C) replicated; v: (N, K) sharded on rows;
+    - images: (N, H, W, C) and clean labels (N,) sharded on rows;
+    - batches: (n_dev, n_batches, B_local) int32 LOCAL row indices per
+      device (-1 = padding), sharded on the device axis;
+    - loss/fooling are global sums (already psum'd).
+    """
+    opt_d = core.make_optimizer(cfg.step_size)
+    opt_v = core.make_optimizer(cfg.step_size)
+
+    def epoch_shard(d, opt_d_state, v, opt_v_state, images, labels_all, batches, variables):
+        batches = batches[0]  # (n_batches, B_local) — this device's plan
+
+        def body(carry, batch_idx):
+            d, opt_d_state, v, opt_v_state = carry
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            idx = jnp.maximum(batch_idx, 0)
+            x = images[idx]
+            labels = labels_all[idx]
+
+            def loss_fn(params):
+                return core._batch_loss(
+                    apply_fn, variables, params["d"], params["v"][idx], x,
+                    labels, mask, cfg,
+                )
+
+            params = {"d": d, "v": v}
+            (loss, fooling), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            # DDP backward all-reduce: D's gradient sums over the mesh.
+            g_d = jax.lax.psum(grads["d"], axis)
+            upd_d, opt_d_state = opt_d.update(g_d, opt_d_state, d)
+            d = project_dictionary(optax.apply_updates(d, upd_d), cfg.norm)
+
+            # v rows are local; update and project locally.
+            upd_v, opt_v_state = opt_v.update(grads["v"], opt_v_state, v)
+            v = project_codes(optax.apply_updates(v, upd_v), cfg.eps, cfg.norm)
+
+            loss_g = jax.lax.psum(loss, axis)
+            fool_g = jax.lax.psum(fooling, axis)
+            return (d, opt_d_state, v, opt_v_state), (loss_g, fool_g)
+
+        (d, opt_d_state, v, opt_v_state), (losses, fools) = jax.lax.scan(
+            body, (d, opt_d_state, v, opt_v_state), batches
+        )
+        return d, opt_d_state, v, opt_v_state, jnp.sum(losses), jnp.sum(fools)
+
+    rep = P()
+    row_sharded = P(axis)
+
+    # shard_map needs concrete spec pytrees matching opt_v_state's structure
+    # (v's AdamW moments shard with v's rows; step counters replicate), so
+    # the wrapper builds the specs from the actual state at call time.
+    def run(d, opt_d_state, v, opt_v_state, images, labels, batches, variables):
+        ov_spec = _spec_like(
+            opt_v_state, lambda l: P(axis) if getattr(l, "ndim", 0) >= 1 else P()
+        )
+        fn = jax.shard_map(
+            epoch_shard,
+            mesh=mesh,
+            in_specs=(rep, rep, row_sharded, ov_spec, row_sharded, row_sharded,
+                      P(axis), rep),
+            out_specs=(rep, rep, row_sharded, ov_spec, rep, rep),
+            check_vma=False,
+        )
+        return fn(d, opt_d_state, v, opt_v_state, images, labels, batches, variables)
+
+    return jax.jit(run)
+
+
+def make_local_batches(
+    key: jax.Array, n_total: int, n_devices: int, batch_size_global: int
+) -> np.ndarray:
+    """Per-device shuffled local batch plans (n_dev, n_batches, B_local).
+
+    Rows are padded so every shard has n_total_pad/n_dev rows; padded local
+    indices are -1 and masked out of the loss. ``batch_size_global`` is the
+    reference's batch size; each device takes its 1/n_dev slice
+    (DistributedSampler + per-rank DataLoader semantics, adil.py:362-364).
+    """
+    b_local = max(batch_size_global // n_devices, 1)
+    n_local = -(-n_total // n_devices)  # rows per shard incl. padding
+    n_batches = -(-n_local // b_local)
+    keys = jax.random.split(key, n_devices)
+    plans = np.full((n_devices, n_batches * b_local), -1, np.int32)
+    for p in range(n_devices):
+        start = p * n_local
+        real = max(min(n_total - start, n_local), 0)
+        perm = np.asarray(jax.random.permutation(keys[p], real), np.int32)
+        plans[p, :real] = perm
+    return plans.reshape(n_devices, n_batches, b_local)
+
+
+def shard_rows(mesh: Mesh, arr: jax.Array, axis: str = "data") -> jax.Array:
+    """Place an (N, ...) array row-sharded over the mesh, padding N up."""
+    n_dev = mesh.devices.size
+    n = arr.shape[0]
+    n_pad = (-(-n // n_dev)) * n_dev - n
+    if n_pad:
+        pad_width = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad_width)
+    spec = P(axis, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def learn_dictionary_distributed(
+    victim,
+    dataset,
+    cfg: AdilConfig,
+    mesh: Mesh,
+    seed: int = 0,
+    verbose: bool = False,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array, dict]:
+    """Full DP dictionary learning. Returns (d, v_real_rows, history).
+
+    Reference: adil.py:334-430 (learn_dictionary_distributed), with the
+    rank-0 gating bug fixed per documented intent.
+    """
+    images_np, _ = dataset.as_arrays()
+    n = images_np.shape[0]
+    n_dev = mesh.devices.size
+    key = jax.random.PRNGKey(seed)
+    kd, kv, key = jax.random.split(key, 3)
+
+    d = core.init_dictionary(kd, dataset.image_shape, cfg)
+    n_local = -(-n // n_dev)
+    n_pad = n_local * n_dev
+    v = core.init_codes(kv, n_pad, cfg, mode="distributed")
+
+    images = shard_rows(mesh, jnp.asarray(images_np, jnp.float32), axis)
+    labels = core.predict_labels(victim.apply_fn, victim.variables, images)
+    labels = jax.device_put(labels, NamedSharding(mesh, P(axis)))
+    v = jax.device_put(v, NamedSharding(mesh, P(axis, None)))
+    d = jax.device_put(d, NamedSharding(mesh, P(*([None] * d.ndim))))
+
+    opt_d = core.make_optimizer(cfg.step_size)
+    opt_v = core.make_optimizer(cfg.step_size)
+    opt_d_state = opt_d.init(d)
+    opt_v_state = opt_v.init(v)
+
+    epoch_fn = make_dp_epoch_fn(victim.apply_fn, cfg, mesh, axis)
+
+    loss_all, fooling_all = [], []
+    for it in range(cfg.steps):
+        key, sub = jax.random.split(key)
+        batches = jnp.asarray(make_local_batches(sub, n, n_dev, cfg.batch_size))
+        batches = jax.device_put(
+            batches, NamedSharding(mesh, P(axis, None, None))
+        )
+        d, opt_d_state, v, opt_v_state, loss, fooling = epoch_fn(
+            d, opt_d_state, v, opt_v_state, images, labels, batches, victim.variables
+        )
+        loss_all.append(float(loss) / n)
+        fooling_all.append(float(fooling) / n)
+        if verbose:
+            print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f}")
+        if it > 1 and abs(loss_all[-1] - loss_all[-2]) < cfg.tol:
+            break
+
+    history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": None}
+    return jnp.asarray(d), jnp.asarray(v)[:n], history

@@ -1,0 +1,2 @@
+from .checkpoint import ArtifactCache, load_artifact, save_artifact  # noqa: F401
+from .rng import key_seq  # noqa: F401

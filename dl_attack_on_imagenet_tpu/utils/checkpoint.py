@@ -1,0 +1,70 @@
+"""Artifact persistence: trained dictionaries / UAPs / result dicts.
+
+The reference both checkpoints and memoizes through deterministic
+``torch.save`` paths derived from hyper-parameters (adil.py:89-101 —
+``trained_dicts/ImageNet_{model}.bin``; uappgd.py:48-58;
+adil_regularized.py:683-692): ``__init__`` trains only if the file is
+missing, ``forward`` lazily reloads it. This module reproduces that contract
+with msgpack-serialized JAX pytrees (no pickle, host-portable).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, tree
+    )
+
+
+def save_artifact(path: str, payload: Dict[str, Any]) -> None:
+    """Serialize a dict-of-arrays/-scalars to ``path`` (msgpack)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.msgpack_serialize(_to_host(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_artifact(path: str) -> Optional[Dict[str, Any]]:
+    """Load a payload saved by :func:`save_artifact`; None if missing."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+class ArtifactCache:
+    """Deterministic artifact paths keyed by attack hyper-parameters.
+
+    ``ArtifactCache(root)("ImageNet", model="resnet", n_atoms=100)`` yields a
+    stable filename; the reference's magic relative paths (adil.py:89-91)
+    become explicit, configurable keys.
+    """
+
+    def __init__(self, root: str = "trained_dicts"):
+        self.root = root
+
+    def path(self, prefix: str, **hyper: Any) -> str:
+        parts = [prefix] + [f"{k}_{hyper[k]}" for k in sorted(hyper)]
+        return os.path.join(self.root, "_".join(str(p) for p in parts) + ".msgpack")
+
+    def load(self, prefix: str, **hyper: Any):
+        return load_artifact(self.path(prefix, **hyper))
+
+    def save(self, payload: Dict[str, Any], prefix: str, **hyper: Any) -> str:
+        p = self.path(prefix, **hyper)
+        save_artifact(p, payload)
+        return p
+
+    def exists(self, prefix: str, **hyper: Any) -> bool:
+        return os.path.exists(self.path(prefix, **hyper))
