@@ -8,5 +8,22 @@ that the reference keeps un-exported.
 from .base import Attack  # noqa: F401
 from .adil import ADIL  # noqa: F401
 from .adil_core import AdilConfig  # noqa: F401
+from .adil_regularized import ADILR, RegularizedConfig  # noqa: F401
+from .deepfool import DeepFool, deepfool_batch  # noqa: F401
+from .fast_uap import DeepFoolCosinus, FastUAP  # noqa: F401
+from .uap_pgd import UAPPGD  # noqa: F401
+from .universal_pert import universal_perturbation  # noqa: F401
 
-__all__ = ["Attack", "ADIL", "AdilConfig"]
+__all__ = [
+    "Attack",
+    "ADIL",
+    "AdilConfig",
+    "ADILR",
+    "RegularizedConfig",
+    "DeepFool",
+    "deepfool_batch",
+    "DeepFoolCosinus",
+    "FastUAP",
+    "UAPPGD",
+    "universal_perturbation",
+]

@@ -1,0 +1,762 @@
+"""ADILR — regularized Adversarial Dictionary Learning.
+
+The earlier/regularized ADiL variant: instead of hard eps-ball constraints,
+an l1 penalty on the codes (lambda_l1) plus an l2 penalty on the perturbation
+Dv (lambda_l2), solved by proximal-gradient methods with backtracking line
+searches; unseen images are attacked by a prox-solver on fresh codes
+(supervised) or Laplace-sampled codes under four conditioning modes
+(unsupervised).
+
+Reference: /root/reference/attacks/attacks_classes/adil_regularized.py —
+``adil`` full-batch forward-backward with Bonettini line search (:31-197),
+``sadil`` SPRING-style stochastic alternating steps (:200-312),
+``sadil_updated`` large-scale variant with per-step backtracking (:315-501),
+``learn_coding_vectors`` inference-time solver (:508-628), and the ``ADILR``
+class (:635-1033). All data-dependent Python control flow (line searches,
+convergence loops) becomes bounded ``lax.while_loop``s so each solver is one
+compiled TPU program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import as_array_dataset
+from ..models import VictimModel
+from ..ops import (
+    clamp_image,
+    dict_apply,
+    laplace_fit,
+    laplace_fit_conditioned,
+    laplace_fit_per_atom,
+    laplace_sample,
+    linf_clamp,
+    project_atoms,
+    soft_threshold,
+)
+from ..utils import ArtifactCache
+from .base import Attack
+
+ApplyFn = Callable[[Any, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularizedConfig:
+    """Hyper-parameters of the regularized solvers (defaults: reference
+    ctor adil_regularized.py:661-663 and solver signatures :31, :315)."""
+
+    lambda_l1: float = 0.1
+    lambda_l2: float = 0.1
+    n_atoms: int = 10
+    steps: int = 100
+    step_size: float = 0.01
+    batch_size: int = 1
+    targeted: bool = True
+    dict_set: str = "l2ball"
+    budget: float = 10 / 255
+    trials: int = 100
+
+    @property
+    def coeff(self) -> float:
+        return 1.0 if self.targeted else -1.0
+
+
+def _targets(apply_fn, variables, images, labels, targeted: bool):
+    """Targeted => second most probable class (utils.py:164-174)."""
+    if not targeted:
+        return labels
+    logits = apply_fn(variables, images).astype(jnp.float32)
+    order = jnp.argsort(logits, axis=-1)
+    return order[:, -2]
+
+
+def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedConfig):
+    """coeff*CE_sum(model(x+Dv), targets) + 0.5*lambda_l2*||Dv||^2.
+
+    Evaluated full-batch (images resident); the reference iterates a
+    DataLoader accumulating the same sum (adil_regularized.py:107-113).
+    """
+    dv = dict_apply(v, d)
+    logits = apply_fn(variables, images + dv).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
+    return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+
+
+def _l1(v, cfg):
+    return cfg.lambda_l1 * jnp.sum(jnp.abs(v))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic full-batch solver (adil, :31-197)
+# ---------------------------------------------------------------------------
+
+
+def adil_fb(
+    apply_fn: ApplyFn,
+    variables: Any,
+    images: jax.Array,
+    targets: jax.Array,
+    cfg: RegularizedConfig,
+    key: jax.Array,
+    dictionary: Optional[jax.Array] = None,
+    niter: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-batch forward-backward splitting with Bonettini line search.
+
+    Returns (d, v, loss_track). Line-search constants delta=.5, gamma=1,
+    beta=.5 (adil_regularized.py:60-63); Lipschitz estimated from gradient
+    differences (:127-130); sufficient-decrease loop capped at 50 halvings
+    (:190-192), after which the iterate is frozen (flag_stop).
+    """
+    niter = int(niter if niter is not None else cfg.steps)
+    n = images.shape[0]
+    delta, gamma, beta = 0.5, 1.0, 0.5
+    learn_d = dictionary is None
+
+    if learn_d:
+        d0 = project_atoms(
+            jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+        )
+    else:
+        d0 = dictionary
+    v0 = jnp.zeros((n, cfg.n_atoms))
+
+    def smooth(params):
+        return _smooth_loss(
+            apply_fn, variables, params["d"], params["v"], images, targets, cfg
+        )
+
+    grad_smooth = jax.grad(smooth)
+
+    def full(params):
+        return smooth(params) + _l1(params["v"], cfg)
+
+    def prox_step(params, grads, step):
+        v_new = soft_threshold(
+            params["v"] - step * grads["v"], step * cfg.lambda_l1
+        )
+        if learn_d:
+            d_new = project_atoms(params["d"] - step * grads["d"], cfg.dict_set)
+        else:
+            d_new = params["d"]
+        return {"d": d_new, "v": v_new}
+
+    def norm2(tree):
+        return sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
+
+    lipschitz0 = 0.9 / cfg.step_size
+
+    def outer_cond(carry):
+        it, flag_stop = carry[0], carry[1]
+        return jnp.logical_and(it < niter, jnp.logical_not(flag_stop))
+
+    def outer_body(carry):
+        (it, _, params, params_old, grads_old, loss_ns_old, lip, track) = carry
+        grads = grad_smooth(params)
+        loss_old = full(params)
+        loss_ns_cur = _l1(params["v"], cfg)
+
+        # Lipschitz guess from successive gradients (:127-130).
+        diff_g = jax.tree_util.tree_map(lambda a, b: a - b, grads, grads_old)
+        diff_x = jax.tree_util.tree_map(lambda a, b: a - b, params, params_old)
+        lip_est = jnp.sqrt(norm2(diff_g)) / jnp.sqrt(norm2(diff_x) + 1e-24)
+        lip = jnp.where(it > 1, lip_est, lip)
+        step = 0.9 / jnp.maximum(lip, 1e-12)
+
+        new = prox_step(params, grads, step)
+        direction = jax.tree_util.tree_map(lambda a, b: a - b, new, params)
+        loss_ns_new = _l1(new["v"], cfg)
+        h = (
+            sum(jnp.sum((new[k] - params[k]) * grads[k]) for k in ("d", "v"))
+            + 0.5 * (gamma / step) * norm2(direction)
+            + loss_ns_new
+            - loss_ns_old
+        )
+
+        def ls_cond(ls):
+            i, accepted, stop, *_ = ls
+            return jnp.logical_not(jnp.logical_or(accepted, stop))
+
+        def ls_body(ls):
+            i, _, _, _, _ = ls
+            scale = delta**i
+            cand = jax.tree_util.tree_map(
+                lambda p, dxt: p + scale * dxt, params, direction
+            )
+            loss_c = full(cand)
+            crit = loss_old + beta * scale * h
+            accepted = loss_c <= crit
+            stop = i + 1 > 50
+            return (i + 1, accepted, stop, cand, loss_c)
+
+        _, accepted, flag_stop, cand, loss_c = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.zeros((), jnp.int32), jnp.array(False), jnp.array(False), new, full(new))
+        )
+        params_next = jax.tree_util.tree_map(
+            lambda c, p: jnp.where(accepted, c, p), cand, params
+        )
+        loss_ns_next = jnp.where(accepted, _l1(params_next["v"], cfg), loss_ns_old)
+        track = track.at[it].set(jnp.where(accepted, loss_c, loss_old))
+        return (it + 1, flag_stop, params_next, params, grads, loss_ns_next, lip, track)
+
+    params0 = {"d": d0, "v": v0}
+    zeros_like_p = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    track0 = jnp.full((niter,), jnp.nan)
+    carry = (
+        jnp.zeros((), jnp.int32),
+        jnp.array(False),
+        params0,
+        zeros_like_p,
+        zeros_like_p,
+        jnp.zeros(()),
+        jnp.asarray(lipschitz0),
+        track0,
+    )
+    carry = jax.lax.while_loop(outer_cond, outer_body, carry)
+    params, track = carry[2], carry[7]
+    return params["d"], params["v"], track
+
+
+# ---------------------------------------------------------------------------
+# Stochastic solvers (sadil :200-312, sadil_updated :315-501)
+# ---------------------------------------------------------------------------
+
+
+def sadil(
+    apply_fn: ApplyFn,
+    variables: Any,
+    images: jax.Array,
+    targets: jax.Array,
+    cfg: RegularizedConfig,
+    key: jax.Array,
+    nepochs: Optional[int] = None,
+    tol: float = 1e-6,
+):
+    """SPRING-style stochastic alternating prox steps, fixed step size.
+
+    Per batch: D prox-gradient step (project onto dict_set), then v
+    prox-gradient step on that batch's rows (soft-threshold). Epoch loss
+    re-evaluated full-batch; stop on |Δloss| < tol.
+
+    Reference: adil_regularized.py:200-312.
+    """
+    nepochs = int(nepochs if nepochs is not None else cfg.steps)
+    n = images.shape[0]
+    bsz = min(cfg.batch_size, n) if cfg.batch_size else n
+    n_batches = n // bsz  # reference uses fixed unshuffled slices
+
+    d = project_atoms(
+        jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+    )
+    v = jnp.zeros((n, cfg.n_atoms))
+
+    def batch_smooth(d_, v_rows, x, t):
+        dv = dict_apply(v_rows, d_)
+        logits = apply_fn(variables, x + dv).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.sum(jnp.take_along_axis(logp, t[:, None], axis=-1))
+        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+
+    @jax.jit
+    def epoch(d, v):
+        def body(carry, b):
+            d, v = carry
+            sl = b * bsz
+            x = jax.lax.dynamic_slice_in_dim(images, sl, bsz)
+            t = jax.lax.dynamic_slice_in_dim(targets, sl, bsz)
+            v_rows = jax.lax.dynamic_slice_in_dim(v, sl, bsz)
+            # D-step
+            g_d = jax.grad(lambda d_: batch_smooth(d_, v_rows, x, t))(d)
+            d = project_atoms(d - cfg.step_size * g_d, cfg.dict_set)
+            # v-step
+            g_v = jax.grad(lambda vr: batch_smooth(d, vr, x, t))(v_rows)
+            v_rows = soft_threshold(
+                v_rows - cfg.step_size * g_v, cfg.step_size * cfg.lambda_l1
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(v, v_rows, sl, axis=0)
+            return (d, v), None
+
+        (d, v), _ = jax.lax.scan(body, (d, v), jnp.arange(n_batches))
+        return d, v
+
+    @jax.jit
+    def full_loss(d, v):
+        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg) + _l1(v, cfg)
+
+    losses = [float(full_loss(d, v))]
+    for _ in range(nepochs):
+        d, v = epoch(d, v)
+        losses.append(float(full_loss(d, v)))
+        if abs(losses[-1] - losses[-2]) < tol:
+            break
+    return d, v, losses
+
+
+def sadil_updated(
+    apply_fn: ApplyFn,
+    variables: Any,
+    images: jax.Array,
+    targets: jax.Array,
+    cfg: RegularizedConfig,
+    key: jax.Array,
+    nepochs: Optional[int] = None,
+    tol: float = 1e-6,
+):
+    """Large-scale stochastic variant with step-size adaptation.
+
+    Per epoch: per-batch v prox steps with a <=5-halving backtracking search
+    that only ADAPTS the step size (the prox iterate is kept either way —
+    reference behavior, adil_regularized.py:436-441); D gradient accumulated
+    over the epoch, one prox step with its own <=5-halving search adapting
+    stepsize_D; skip the D step when ||grad_D||_inf < 1e-4; stop on
+    |Δloss| < tol.
+
+    Reference: adil_regularized.py:315-501.
+    """
+    nepochs = int(nepochs if nepochs is not None else cfg.steps)
+    n = images.shape[0]
+    bsz = min(cfg.batch_size, n) if cfg.batch_size else n
+    n_batches = n // bsz
+    delta, beta = 0.5, 0.5
+
+    d = project_atoms(
+        jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+    )
+    v = jnp.zeros((n, cfg.n_atoms))
+    step_v = jnp.asarray(cfg.step_size)
+    step_d = jnp.asarray(cfg.step_size)
+
+    def batch_smooth(d_, v_rows, x, t):
+        dv = dict_apply(v_rows, d_)
+        logits = apply_fn(variables, x + dv).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.sum(jnp.take_along_axis(logp, t[:, None], axis=-1))
+        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+
+    @jax.jit
+    def epoch(d, v, step_v):
+        """v-pass over all batches + accumulated D gradient. Returns the
+        number of halvings the worst batch needed (i_max) to shrink step_v."""
+
+        def body(carry, b):
+            v, i_max, g_d_acc = carry
+            sl = b * bsz
+            x = jax.lax.dynamic_slice_in_dim(images, sl, bsz)
+            t = jax.lax.dynamic_slice_in_dim(targets, sl, bsz)
+            v_rows = jax.lax.dynamic_slice_in_dim(v, sl, bsz)
+
+            loss_old, g_v = jax.value_and_grad(
+                lambda vr: batch_smooth(d, vr, x, t)
+            )(v_rows)
+            loss_old = loss_old + cfg.lambda_l1 * jnp.sum(jnp.abs(v_rows))
+            v_new = soft_threshold(v_rows - step_v * g_v, step_v * cfg.lambda_l1)
+
+            loss_cur = batch_smooth(d, v_new, x, t) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_new))
+            dh = (
+                jnp.sum(g_v * (v_new - v_rows))
+                + 0.5 / step_v * jnp.sum((v_new - v_rows) ** 2)
+                + cfg.lambda_l1 * (jnp.sum(jnp.abs(v_new)) - jnp.sum(jnp.abs(v_rows)))
+            )
+
+            # Count halvings needed for sufficient decrease (bounded at 5);
+            # the iterate keeps the full prox step regardless (reference).
+            def ls_cond(ls):
+                i, loss_c, dh_c = ls
+                return jnp.logical_and(loss_c > loss_old + dh_c * beta, i < 5)
+
+            def ls_body(ls):
+                i, _, dh_c = ls
+                i = i + 1
+                v_try = (delta**i) * v_new + (1 - delta**i) * v_rows
+                loss_c = batch_smooth(d, v_try, x, t) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_try))
+                return (i, loss_c, dh_c * delta)
+
+            i_fin, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (jnp.zeros((), jnp.int32), loss_cur, dh)
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(v, v_new, sl, axis=0)
+
+            g_d = jax.grad(lambda d_: batch_smooth(d_, v_new, x, t))(d)
+            return (v, jnp.maximum(i_max, i_fin), g_d_acc + g_d), None
+
+        (v, i_max, g_d), _ = jax.lax.scan(
+            body, (v, jnp.zeros((), jnp.int32), jnp.zeros_like(d)), jnp.arange(n_batches)
+        )
+        return v, i_max, g_d
+
+    @jax.jit
+    def full_loss(d, v):
+        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg) + _l1(v, cfg)
+
+    @jax.jit
+    def d_update(d, v, g_d, step_d):
+        loss_old = full_loss(d, v)
+        d_new = project_atoms(d - step_d * g_d, cfg.dict_set)
+        loss_cur = full_loss(d_new, v)
+        dh = jnp.sum(g_d * (d_new - d)) + 0.5 / step_d * jnp.sum((d_new - d) ** 2)
+
+        def ls_cond(ls):
+            i, loss_c, dh_c = ls
+            return jnp.logical_and(loss_c > loss_old + dh_c * beta, i < 5)
+
+        def ls_body(ls):
+            i, _, dh_c = ls
+            i = i + 1
+            d_try = (delta**i) * d_new + (1 - delta**i) * d
+            return (i, full_loss(d_try, v), dh_c * delta)
+
+        i_fin, loss_fin, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.zeros((), jnp.int32), loss_cur, dh)
+        )
+        # Keep the full step; shrink stepsize_D if halvings were needed.
+        step_d = jnp.maximum(step_d * delta**i_fin, 1e-6)
+        return d_new, step_d, jnp.where(i_fin > 0, loss_fin, loss_cur)
+
+    losses = [float(full_loss(d, v))]
+    for _ in range(nepochs):
+        v, i_max, g_d = epoch(d, v, step_v)
+        step_v = jnp.maximum(step_v * delta ** i_max, 1e-5)
+        if float(jnp.max(jnp.abs(g_d))) >= 1e-4:
+            d, step_d, loss_now = d_update(d, v, g_d, step_d)
+            losses.append(float(loss_now))
+        else:
+            losses.append(losses[-1])
+        if abs(losses[-1] - losses[-2]) < tol:
+            break
+    return d, v, losses
+
+
+# ---------------------------------------------------------------------------
+# Inference-time coding-vector solver (:508-628)
+# ---------------------------------------------------------------------------
+
+
+def learn_coding_vectors(
+    apply_fn: ApplyFn,
+    variables: Any,
+    d: jax.Array,
+    images: jax.Array,
+    targets: jax.Array,
+    cfg: RegularizedConfig,
+    niter: int = 100,
+    step_size: float = 100.0,
+    tol: float = 1e-6,
+) -> jax.Array:
+    """Prox-gradient on fresh codes v against a frozen dictionary, with a
+    <=10-halving backtracking search per iteration (delta=.9) that accepts
+    the better of the full prox step and the damped one; stop when the loss
+    improvement falls under tol.
+
+    Reference: adil_regularized.py:508-628 (step_size default 100 comes from
+    the forward_supervised call site, :990-993).
+    """
+    n = images.shape[0]
+    delta, gamma, beta = 0.9, 1.0, 0.5
+
+    def smooth(v):
+        dv = dict_apply(v, d)
+        logits = apply_fn(variables, images + dv).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
+        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+
+    def full(v):
+        return smooth(v) + _l1(v, cfg)
+
+    grad_fn = jax.grad(smooth)
+
+    def cond(carry):
+        it, stop = carry[0], carry[1]
+        return jnp.logical_and(it < niter, jnp.logical_not(stop))
+
+    def body(carry):
+        it, _, v, step, loss_prev = carry
+        loss_old = full(v)
+        g = grad_fn(v)
+        v_new = soft_threshold(v - step * g, step * cfg.lambda_l1)
+        dvv = v_new - v
+        h = (
+            jnp.sum(dvv * g)
+            + 0.5 * (gamma / step) * jnp.sum(dvv**2)
+            + _l1(v_new, cfg)
+            - _l1(v, cfg)
+        )
+        loss_cur0 = full(v_new)
+
+        def ls_cond(ls):
+            i, accepted, _, _ = ls
+            return jnp.logical_and(jnp.logical_not(accepted), i <= 10)
+
+        def ls_body(ls):
+            i, _, _, _ = ls
+            scale = delta**i
+            v_try = v + scale * dvv
+            loss_c = full(v_try)
+            crit = loss_old + beta * scale * h
+            return (i + 1, loss_c <= crit, v_try, loss_c)
+
+        i_fin, accepted, v_try, loss_try = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.zeros((), jnp.int32), jnp.array(False), v_new, loss_cur0)
+        )
+        # Accept the damped iterate only if it also beats the full step;
+        # shrink the step size accordingly (:600-610). On search exhaustion
+        # keep the full step (:613-616).
+        use_damped = accepted & (loss_cur0 > loss_try)
+        v_next = jnp.where(use_damped, v_try, v_new)
+        step = jnp.where(use_damped, step * delta ** (i_fin - 1), step)
+        loss_next = jnp.where(use_damped, loss_try, loss_cur0)
+        stop = (loss_prev - loss_next) < tol
+        return (it + 1, stop, v_next, step, loss_next)
+
+    v0 = jnp.zeros((n, cfg.n_atoms))
+    carry = (
+        jnp.zeros((), jnp.int32),
+        jnp.array(False),
+        v0,
+        jnp.asarray(step_size, jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32),
+    )
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[2]
+
+
+# ---------------------------------------------------------------------------
+# ADILR attack class (:635-1033)
+# ---------------------------------------------------------------------------
+
+
+class ADILR(Attack):
+    """Regularized ADiL with Laplace-sampled unsupervised inference."""
+
+    CONDITIONING = ("predictions_atoms", "labels_atoms", "atoms", "none")
+
+    def __init__(
+        self,
+        victim: VictimModel,
+        steps: int = 100,
+        lambda_l1: float = 1e-1,
+        lambda_l2: float = 1e-1,
+        version: str = "deterministic",
+        targeted: bool = True,
+        attack: str = "supervised",
+        n_atoms: int = 10,
+        batch_size: int = 1,
+        data_train=None,
+        step_size: float = 0.01,
+        trials: int = 100,
+        budget: float = 10 / 255,
+        model_name: Optional[str] = None,
+        attack_conditioned: str = "labels_atoms",
+        cache: Optional[ArtifactCache] = None,
+        seed: int = 0,
+    ):
+        super().__init__(victim, "ADILR", targeted)
+        self.cfg = RegularizedConfig(
+            lambda_l1=lambda_l1,
+            lambda_l2=lambda_l2,
+            n_atoms=n_atoms,
+            steps=int(steps),
+            step_size=step_size,
+            batch_size=batch_size,
+            targeted=targeted,
+            budget=budget,
+            trials=int(trials),
+        )
+        self.version = version
+        self.attack_mode = attack
+        self.attack_conditioned = attack_conditioned
+        self.model_name = model_name or victim.name
+        self.cache = cache or ArtifactCache("dict_model_ImageNet")
+        self.seed = seed
+        self.dictionary: Optional[jax.Array] = None
+        self.mean: Optional[dict] = None
+        self.scale: Optional[dict] = None
+
+        key = dict(
+            model=self.model_name, lam1=lambda_l1, lam2=lambda_l2,
+            atoms=n_atoms, steps=int(steps),
+        )
+        self._key = key
+        if not self.cache.exists("ADILR", **key) and data_train is not None:
+            self.learn_dictionary(data_train)
+        elif attack == "unsupervised" and self.cache.exists("ADILR", **key):
+            self._fit_laplace_from_artifact(data_train)
+
+    # -- dictionary learning ---------------------------------------------
+
+    def learn_dictionary(self, data_train):
+        """Dispatch on version: deterministic -> adil_fb; stochastic ->
+        sadil_updated (reference commented-out learn_dictionary,
+        adil_regularized.py:701-719)."""
+        ds = as_array_dataset(data_train)
+        images = jnp.asarray(ds.images, jnp.float32)
+        labels = jnp.asarray(ds.labels, jnp.int32)
+        targets = _targets(
+            self.victim.apply_fn, self.victim.variables, images, labels, self.targeted
+        )
+        key = jax.random.PRNGKey(self.seed)
+        if self.version == "deterministic":
+            d, v, track = adil_fb(
+                self.victim.apply_fn, self.victim.variables, images, targets,
+                self.cfg, key,
+            )
+            losses = np.asarray(track)
+        else:
+            d, v, losses = sadil_updated(
+                self.victim.apply_fn, self.victim.variables, images, targets,
+                self.cfg, key,
+            )
+            losses = np.asarray(losses, np.float32)
+        self.dictionary = d
+        self.cache.save(
+            {"d": np.asarray(d), "v": np.asarray(v), "loss": losses,
+             "labels": np.asarray(labels)},
+            "ADILR", **self._key,
+        )
+        self._fit_laplace(np.asarray(v), ds)
+
+    def _fit_laplace_from_artifact(self, data_train=None):
+        payload = self.cache.load("ADILR", **self._key)
+        v = np.asarray(payload["v"])
+        ds = as_array_dataset(data_train) if data_train is not None else None
+        self._fit_laplace(v, ds, labels=np.asarray(payload.get("labels")))
+
+    def _fit_laplace(self, v: np.ndarray, ds=None, labels: Optional[np.ndarray] = None):
+        """All four conditioning modes (utils.py:60-70)."""
+        num_classes = self.victim.num_classes
+        loc_a, scale_a = laplace_fit_per_atom(jnp.asarray(v))
+        loc_n, scale_n = laplace_fit(jnp.asarray(v))
+        self.mean = {"atoms": np.asarray(loc_a), "none": float(loc_n)}
+        self.scale = {"atoms": np.asarray(scale_a), "none": float(scale_n)}
+        if labels is None and ds is not None:
+            labels = np.asarray(ds.labels)
+        if labels is not None and labels.size == v.shape[0]:
+            loc_l, scale_l = laplace_fit_conditioned(v, labels, num_classes)
+            self.mean["labels_atoms"] = loc_l
+            self.scale["labels_atoms"] = scale_l
+        if ds is not None:
+            preds = np.asarray(
+                self.victim.predict(jnp.asarray(ds.images, jnp.float32))
+            )
+            loc_p, scale_p = laplace_fit_conditioned(v, preds, num_classes)
+            self.mean["predictions_atoms"] = loc_p
+            self.scale["predictions_atoms"] = scale_p
+
+    # -- inference --------------------------------------------------------
+
+    def _load_dictionary(self) -> jax.Array:
+        if self.dictionary is None:
+            payload = self.cache.load("ADILR", **self._key)
+            if payload is None:
+                raise FileNotFoundError("ADILR dictionary has not been learned")
+            self.dictionary = jnp.asarray(payload["d"])
+        return self.dictionary
+
+    def _best_of_trials(self, images, sample_fn, key):
+        """Shared best-of-trials loop over Laplace draws (the masked-update
+        vectorization of adil_regularized.py:846-868 etc.)."""
+        d = self._load_dictionary()
+        apply_fn, variables = self.victim.apply_fn, self.victim.variables
+        pre = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+        n = images.shape[0]
+
+        def trial(carry, k):
+            fooled, mse_fool, mse_nofool, best = carry
+            v = sample_fn(k)
+            adv = clamp_image(images + dict_apply(v, d))
+            lab = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
+            fooling = lab != pre
+            mse = jnp.sum((images - adv) ** 2, axis=(1, 2, 3))
+            take_fool = fooling & (mse < mse_fool)
+            take_nofool = (~fooled) & (~fooling) & (mse < mse_nofool)
+            take = take_fool | take_nofool
+            mse_fool = jnp.where(take_fool, mse, mse_fool)
+            mse_nofool = jnp.where(take_nofool, mse, mse_nofool)
+            best = jnp.where(take[:, None, None, None], adv, best)
+            return (fooled | fooling, mse_fool, mse_nofool, best), None
+
+        init = (
+            jnp.zeros((n,), jnp.bool_),
+            jnp.full((n,), jnp.inf),
+            jnp.full((n,), jnp.inf),
+            jnp.zeros_like(images),
+        )
+        keys = jax.random.split(key, self.cfg.trials)
+        (_, _, _, best), _ = jax.lax.scan(trial, init, keys)
+        return best
+
+    def forward_unsupervised(self, images, key):
+        """conditioned='none': scalar Laplace (adil_regularized.py:931-978)."""
+        n = images.shape[0]
+        loc, scale = self.mean["none"], self.scale["none"]
+        return self._best_of_trials(
+            images,
+            lambda k: laplace_sample(k, loc, scale, (n, self.cfg.n_atoms)),
+            key,
+        )
+
+    def forward_unsupervised_conditioned_atoms(self, images, key):
+        """conditioned='atoms': per-atom Laplace (adil_regularized.py:817-868)."""
+        n = images.shape[0]
+        loc = jnp.asarray(self.mean["atoms"])
+        scale = jnp.asarray(self.scale["atoms"])
+        return self._best_of_trials(
+            images,
+            lambda k: laplace_sample(k, loc[None, :], scale[None, :], (n, self.cfg.n_atoms)),
+            key,
+        )
+
+    def forward_unsupervised_conditioned_target_atoms(self, images, labels, key, version="labels"):
+        """conditioned='labels_atoms'/'predictions_atoms': per-class per-atom
+        Laplace (adil_regularized.py:870-929)."""
+        n = images.shape[0]
+        mode = "labels_atoms" if version == "labels" else "predictions_atoms"
+        if self.mean is None or mode not in self.mean:
+            raise RuntimeError(f"Laplace fit for '{mode}' unavailable")
+        if version == "labels":
+            target = labels
+        else:
+            target = self.victim.predict(images)
+        loc = jnp.asarray(self.mean[mode])[target]  # (N, K)
+        scale = jnp.asarray(self.scale[mode])[target]
+        return self._best_of_trials(
+            images,
+            lambda k: laplace_sample(k, loc, scale, (n, self.cfg.n_atoms)),
+            key,
+        )
+
+    def forward_supervised(self, images, labels):
+        """Optimize codes, clamp Dv to the budget, clip pixels
+        (adil_regularized.py:980-1002)."""
+        d = self._load_dictionary()
+        targets = _targets(
+            self.victim.apply_fn, self.victim.variables, images, labels, self.targeted
+        )
+        v = learn_coding_vectors(
+            self.victim.apply_fn, self.victim.variables, d, images, targets, self.cfg
+        )
+        dv = linf_clamp(dict_apply(v, d), self.cfg.budget)
+        return clamp_image(images + dv)
+
+    def forward(self, images: jax.Array, labels: jax.Array) -> jax.Array:
+        if self.dictionary is None and not self.cache.exists("ADILR", **self._key):
+            self.learn_dictionary((np.asarray(images), np.asarray(labels)))
+        images = jnp.asarray(images, jnp.float32)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), images.shape[0])
+        if self.attack_mode == "supervised":
+            return self.forward_supervised(images, labels)
+        mode = self.attack_conditioned
+        if mode == "labels_atoms":
+            return self.forward_unsupervised_conditioned_target_atoms(images, labels, key, "labels")
+        if mode == "predictions_atoms":
+            return self.forward_unsupervised_conditioned_target_atoms(images, labels, key, "predictions")
+        if mode == "atoms":
+            return self.forward_unsupervised_conditioned_atoms(images, key)
+        return self.forward_unsupervised(images, key)

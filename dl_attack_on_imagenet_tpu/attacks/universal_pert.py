@@ -1,0 +1,90 @@
+"""Moosavi-style universal perturbation (iterated DeepFool).
+
+Reference: /root/reference/attacks/attacks_classes/universal_pert.py:25-115.
+Loops over the dataset accumulating DeepFool increments for images the
+current perturbation fails to fool, projecting onto the lp ball, until the
+validation fooling rate reaches 1-delta (or the iteration cap).
+
+Differences from the reference, by documented intent (SURVEY.md §2.4):
+- validation fooling is measured over the WHOLE val set (the reference
+  breaks after the first batch, universal_pert.py:92-104);
+- the perturbation is returned and optionally saved via the artifact cache
+  (the reference np.save's to a name-mangled file in cwd).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import as_array_dataset
+from ..models import VictimModel
+from .deepfool import deepfool_batch
+from .uap_pgd import additive_fooling_rate, project_uap
+
+
+def universal_perturbation(
+    data_train,
+    data_val,
+    victim: VictimModel,
+    delta: float = 0.2,
+    max_iter_uni: int = 100,
+    xi: float = 20 / 255.0,
+    p: str = "linf",
+    num_classes: int = 10,
+    overshoot: float = 0.02,
+    max_iter_df: int = 10,
+    seed: int = 0,
+    verbose: bool = False,
+) -> Tuple[jax.Array, list]:
+    """Returns (perturbation (H,W,C), fooling-rate history).
+
+    ``p``: 'l2' or 'linf' (the reference's np.inf). ``delta`` controls the
+    target fooling rate 1-delta (universal_pert.py:31).
+    """
+    train = as_array_dataset(data_train)
+    val = as_array_dataset(data_val)
+    images = jnp.asarray(train.images, jnp.float32)
+    val_images = jnp.asarray(val.images, jnp.float32)
+    n = len(train)
+    vars_ = victim.variables
+
+    df = jax.jit(
+        partial(
+            deepfool_batch, victim.apply_fn,
+            num_classes=num_classes, overshoot=overshoot, max_iter=max_iter_df,
+        )
+    )
+
+    @jax.jit
+    def predict1(vars_, x):
+        return jnp.argmax(victim.apply_fn(vars_, x).astype(jnp.float32), -1)
+
+    v = jnp.zeros(train.image_shape)
+    fooling_rate = 0.0
+    history = []
+    rng = np.random.default_rng(seed)
+    n_iter = 0
+
+    while fooling_rate < 1 - delta and n_iter < max_iter_uni:
+        order = rng.permutation(n)
+        for i in order:
+            x = images[int(i)][None]
+            pert = x + v[None]
+            if int(predict1(vars_, x)[0]) == int(predict1(vars_, pert)[0]):
+                dr, iters = df(vars_, pert)
+                if int(iters[0]) < max_iter_df - 1:
+                    v = project_uap(v + dr[0], xi, p)
+        fooling_rate = additive_fooling_rate(
+            victim.apply_fn, vars_, v[None], val_images
+        )
+        history.append(fooling_rate)
+        n_iter += 1
+        if verbose:
+            print(f"[universal_pert] iter {n_iter} fooling {fooling_rate:.3f}")
+
+    return v, history

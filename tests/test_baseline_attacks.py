@@ -1,0 +1,143 @@
+"""Tests for DeepFool, UAP-PGD, Fast-UAP, universal perturbation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.attacks import (
+    DeepFool,
+    DeepFoolCosinus,
+    FastUAP,
+    UAPPGD,
+    deepfool_batch,
+    universal_perturbation,
+)
+from dl_attack_on_imagenet_tpu.data import ArrayDataset
+from dl_attack_on_imagenet_tpu.models import create_model
+from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return create_model("tiny", rng=jax.random.PRNGKey(7))
+
+
+@pytest.fixture(scope="module")
+def dataset(victim):
+    key = jax.random.PRNGKey(3)
+    images = np.asarray(jax.random.uniform(key, (16, 32, 32, 3)))
+    labels = np.asarray(victim.predict(jnp.asarray(images)))
+    return ArrayDataset(images, labels)
+
+
+class TestDeepFool:
+    def test_fools_most_images(self, victim, dataset):
+        x = jnp.asarray(dataset.images[:8])
+        r_tot, iters = deepfool_batch(
+            victim.apply_fn, victim.variables, x, num_classes=5, max_iter=20
+        )
+        assert r_tot.shape == x.shape
+        clean = victim.predict(x)
+        adv = victim.predict(x + r_tot)
+        fooled = float(jnp.mean((clean != adv).astype(jnp.float32)))
+        assert fooled >= 0.5  # minimal-perturbation attack should mostly work
+        assert bool(jnp.all(iters >= 1))
+
+    def test_perturbation_is_small(self, victim, dataset):
+        x = jnp.asarray(dataset.images[:8])
+        r_tot, _ = deepfool_batch(
+            victim.apply_fn, victim.variables, x, num_classes=5, max_iter=20
+        )
+        # DeepFool finds *minimal* perturbations — should be far below image norm
+        rel = float(jnp.linalg.norm(r_tot) / jnp.linalg.norm(x))
+        assert rel < 0.5
+
+    def test_class_wrapper(self, victim, dataset):
+        atk = DeepFool(victim, num_classes=5, steps=20)
+        adv = atk(jnp.asarray(dataset.images[:4]))
+        assert adv.shape == (4, 32, 32, 3)
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+    def test_already_fooled_image_untouched(self, victim, dataset):
+        # If max_iter=0 no perturbation is applied at all.
+        x = jnp.asarray(dataset.images[:2])
+        r_tot, iters = deepfool_batch(
+            victim.apply_fn, victim.variables, x, num_classes=5, max_iter=0
+        )
+        np.testing.assert_array_equal(np.asarray(r_tot), 0)
+        np.testing.assert_array_equal(np.asarray(iters), 0)
+
+
+class TestUAPPGD:
+    def test_learn_and_forward(self, victim, dataset, tmp_path):
+        cache = ArtifactCache(str(tmp_path))
+        atk = UAPPGD(
+            victim, data_train=dataset, data_val=dataset, steps=3,
+            batch_size=8, eps=0.1, norm="linf", step_size=0.05,
+            cache=cache, model_name="uap",
+        )
+        assert cache.exists("UAPPGD", model="uap")
+        e = atk.attack_vec
+        assert e.shape == (1, 32, 32, 3)
+        assert float(jnp.max(jnp.abs(e))) <= 0.1 + 1e-5
+        adv = atk(jnp.asarray(dataset.images[:4]))
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert len(atk.history["fooling_rate"]) == 3
+
+    def test_l2_projection(self, victim, dataset, tmp_path):
+        cache = ArtifactCache(str(tmp_path))
+        atk = UAPPGD(
+            victim, data_train=dataset, steps=2, batch_size=8, eps=0.5,
+            norm="l2", step_size=0.5, cache=cache, model_name="uapl2",
+        )
+        assert float(jnp.linalg.norm(atk.attack_vec)) <= 0.5 + 1e-4
+
+    def test_distributed_mesh(self, victim, dataset, tmp_path, devices):
+        from dl_attack_on_imagenet_tpu.parallel import data_mesh
+
+        cache = ArtifactCache(str(tmp_path))
+        atk = UAPPGD(
+            victim, data_train=dataset, steps=2, batch_size=8, eps=0.1,
+            norm="linf", step_size=0.05, cache=cache, model_name="uapdp",
+            mesh=data_mesh(8),
+        )
+        assert atk.attack_vec.shape == (1, 32, 32, 3)
+        assert float(jnp.max(jnp.abs(atk.attack_vec))) <= 0.1 + 1e-5
+
+
+class TestFastUAP:
+    def test_learn_and_forward(self, victim, dataset, tmp_path):
+        cache = ArtifactCache(str(tmp_path))
+        small = ArrayDataset(dataset.images[:6], dataset.labels[:6])
+        atk = FastUAP(
+            victim, data_train=small, data_val=small, steps=1,
+            eps=0.3, norm="linf", steps_deepfool=10, cache=cache,
+            model_name="fast", fooling_rate=2.0,  # never early-stop
+        )
+        assert cache.exists("FastUAP", model="fast")
+        assert float(jnp.max(jnp.abs(atk.attack_vec))) <= 0.3 + 1e-5
+        adv = atk(jnp.asarray(dataset.images[:4]))
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        # accumulated perturbation should fool something on train
+        assert atk.history["fooling_rate"][-1] >= 0
+
+    def test_deepfool_cosinus(self, victim, dataset):
+        atk = DeepFoolCosinus(victim, steps=10)
+        x = jnp.asarray(dataset.images[:4])
+        init = jnp.asarray(0.05 * np.random.default_rng(0).standard_normal((32, 32, 3)), jnp.float32)
+        adv = atk(x, attack_init=init)
+        assert adv.shape == x.shape
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+
+class TestUniversalPert:
+    def test_runs_and_projects(self, victim, dataset):
+        small = ArrayDataset(dataset.images[:6], dataset.labels[:6])
+        v, history = universal_perturbation(
+            small, small, victim, delta=0.9, max_iter_uni=1,
+            xi=0.2, p="linf", num_classes=5, max_iter_df=10,
+        )
+        assert v.shape == (32, 32, 3)
+        assert float(jnp.max(jnp.abs(v))) <= 0.2 + 1e-5
+        assert len(history) >= 1
