@@ -1,0 +1,220 @@
+"""Hyper-parameter grids, performance measurement, selection, transfer.
+
+Reference: performance.py. Fixes by documented intent (SURVEY.md §2.4):
+``expand_grid`` is n-ary (the reference's get_args supports at most 3 swept
+variables, performance.py:24-28) and ``get_performance`` names every attack
+(the reference only builds ``sub_name`` for 'adil', performance.py:134-135 —
+a NameError for anything else).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Any, Callable, Dict, Iterable, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import VictimModel
+from .metrics import compute_fooling_rate, compute_mse, compute_rmse
+
+
+def expand_grid(*args) -> List[Dict[str, Any]]:
+    """('name1', values1, 'name2', values2, ...) -> list of kwargs dicts.
+
+    The full cartesian product, any number of swept variables.
+    Reference: performance.py:6-37 (get_args).
+    """
+    if len(args) % 2 != 0:
+        raise ValueError("expand_grid expects (name, values) pairs")
+    names = args[0::2]
+    values = args[1::2]
+    if not names:
+        return [dict()]
+    return [dict(zip(names, combo)) for combo in itertools.product(*values)]
+
+
+def get_atks(victim: VictimModel, attack_cls, *grid_args, **kwargs) -> list:
+    """Instantiate one attack per hyper-combo (performance.py:40-48)."""
+    atks = []
+    for combo in expand_grid(*grid_args):
+        kw = dict(kwargs)
+        kw.update(combo)
+        atks.append(attack_cls(victim, **kw))
+    return atks
+
+
+def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = False):
+    """Fooling/RMSE/MSE over batches, restricted to correctly-classified
+    inputs (performance.py:154-177)."""
+    num_samples = 0
+    fooling = 0.0
+    rmse = 0.0
+    mse = 0.0
+    for x, y in data:
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y)
+        pre = victim.predict(x)
+        keep = np.asarray(pre == y)
+        if not keep.any():
+            continue
+        x, y = x[keep], y[keep]
+        num_samples += int(keep.sum())
+        adv = attack(x, y)
+        fooling += compute_fooling_rate(victim, adv, x)
+        rmse += compute_rmse(adv, x)
+        mse += compute_mse(adv, x)
+    denom = max(num_samples, 1)
+    return {
+        "fooling_rate": fooling / denom,
+        "rmse": rmse / denom,
+        "mse": mse / denom,
+        "num_samples": num_samples,
+    }
+
+
+def _attack_key(name: str, atk) -> str:
+    """Stable per-attack sub-name; specialized for ADiL like the reference
+    (performance.py:134-135) but defined for every attack."""
+    extras = []
+    for attr in ("n_atoms", "loss", "eps", "norm"):
+        if hasattr(atk, attr):
+            extras.append(f"{attr}_{getattr(atk, attr)}")
+        elif hasattr(atk, "cfg") and hasattr(atk.cfg, attr):
+            extras.append(f"{attr}_{getattr(atk.cfg, attr)}")
+    return "_".join([name] + extras) if extras else name
+
+
+def get_performance(
+    atks: Dict[str, Sequence], victim: VictimModel, data, verbose: bool = False
+):
+    """Run every attack instance, timing each (performance.py:116-151)."""
+    fooling_rate: Dict[str, list] = {}
+    rmse: Dict[str, list] = {}
+    mse: Dict[str, list] = {}
+    time_cost: Dict[str, list] = {}
+
+    for name, instances in atks.items():
+        f_tmp, r_tmp, m_tmp, t_tmp = [], [], [], []
+        sub_name = name
+        for atk in instances:
+            sub_name = _attack_key(name, atk)
+            if verbose:
+                print(f"evaluating {sub_name} ...")
+            start = time.time()
+            perf = performance(atk, victim, data)
+            elapsed = time.time() - start
+            if verbose:
+                print(f"  {elapsed:.1f}s {perf}")
+            f_tmp.append(perf["fooling_rate"])
+            r_tmp.append(perf["rmse"])
+            m_tmp.append(perf["mse"])
+            t_tmp.append(elapsed)
+        fooling_rate[sub_name] = f_tmp
+        rmse[sub_name] = r_tmp
+        mse[sub_name] = m_tmp
+        time_cost[sub_name] = t_tmp
+
+    return {"fooling_rate": fooling_rate, "rmse": rmse, "mse": mse, "time": time_cost}
+
+
+def select_hyperparameter(
+    atks_hyper: Dict[str, Sequence],
+    victim: VictimModel,
+    data,
+    budget: Sequence[float],
+    criterion: str = "mse_limit",
+    verbose: bool = False,
+):
+    """Pick hyper-combos meeting a budget under four criteria.
+
+    'rmse'/'mse': closest to the budget value; 'fooling_rate': closest, tie
+    broken by largest rmse; 'mse_limit': largest fooling rate among combos
+    with mse <= budget, ties broken by largest mse; NaN when none qualify.
+    Reference: performance.py:51-110.
+    """
+    validation_perf = get_performance(atks_hyper, victim, data, verbose=verbose)
+    mse = validation_perf["mse"]
+    rmse = validation_perf["rmse"]
+    fooling_rate = validation_perf["fooling_rate"]
+    keys = list(rmse.keys())
+    # The measured dict keys may be specialized sub-names; map back to the
+    # input grouping by order.
+    input_keys = list(atks_hyper.keys())
+
+    atks_selected, perf = [], []
+    for budget_val in budget:
+        res_atks, res_fool, res_rmse, res_mse = {}, {}, {}, {}
+        for in_key, key in zip(input_keys, keys):
+            fr = np.asarray(fooling_rate[key], float)
+            rm = np.asarray(rmse[key], float)
+            ms = np.asarray(mse[key], float)
+            ind: Any
+            if criterion == "rmse":
+                ind = int(np.argmin(np.abs(rm - budget_val)))
+            elif criterion == "mse":
+                ind = int(np.argmin(np.abs(ms - budget_val)))
+            elif criterion == "fooling_rate":
+                vmin = np.abs(fr - budget_val)
+                cand = np.where(vmin == vmin.min())[0]
+                ind = int(cand[np.argmax(rm[cand])])
+            elif criterion == "mse_limit":
+                admissible = np.where(ms - budget_val <= 0)[0]
+                if len(admissible) == 0:
+                    ind = None
+                else:
+                    vfr = fr[admissible]
+                    best = admissible[np.where(vfr == vfr.max())[0]]
+                    ind = int(best[np.argmax(ms[best])])
+            else:
+                raise ValueError(f"unknown criterion {criterion}")
+
+            if ind is None:
+                res_fool[key] = np.nan
+                res_rmse[key] = np.nan
+                res_mse[key] = np.nan
+                res_atks[key] = []
+            else:
+                res_fool[key] = fr[ind]
+                res_rmse[key] = rm[ind]
+                res_mse[key] = ms[ind]
+                res_atks[key] = [atks_hyper[in_key][ind]]
+        perf.append({"fooling_rate": res_fool, "rmse": res_rmse, "mse": res_mse})
+        atks_selected.append(res_atks)
+
+    return atks_selected, perf, validation_perf
+
+
+def get_transfer_performance(
+    atks: Dict[str, Sequence], victims: Dict[str, VictimModel], data
+):
+    """Cross-model transfer matrix (performance.py:183-232): adversaries
+    built per attack, metrics measured on every victim."""
+    out: Dict[str, dict] = {}
+    for name, instances in atks.items():
+        if len(instances) == 0:
+            out[name] = {
+                v: {"fooling_rate": np.nan, "rmse": np.nan, "mse": np.nan}
+                for v in victims
+            }
+            continue
+        attack = instances[0]
+        perf = {
+            v: {"fooling_rate": 0.0, "rmse": 0.0, "mse": 0.0} for v in victims
+        }
+        num_samples = 0
+        for x, y in data:
+            x = jnp.asarray(x, jnp.float32)
+            y = jnp.asarray(y)
+            num_samples += x.shape[0]
+            adv = attack(x, y)
+            for vname, victim in victims.items():
+                perf[vname]["fooling_rate"] += compute_fooling_rate(victim, adv, x)
+                perf[vname]["rmse"] += compute_rmse(adv, x)
+                perf[vname]["mse"] += compute_mse(adv, x)
+        for vname in perf:
+            for k in perf[vname]:
+                perf[vname][k] /= max(num_samples, 1)
+        out[name] = perf
+    return out

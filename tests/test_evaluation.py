@@ -1,0 +1,130 @@
+"""Evaluation harness tests: grids, metrics, selection, transfer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu import evaluation as ev
+from dl_attack_on_imagenet_tpu.attacks import DeepFool
+from dl_attack_on_imagenet_tpu.data import ArrayDataset
+from dl_attack_on_imagenet_tpu.models import create_model
+from dl_attack_on_imagenet_tpu.parallel import data_mesh
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return create_model("tiny", rng=jax.random.PRNGKey(7))
+
+
+@pytest.fixture(scope="module")
+def dataset(victim):
+    key = jax.random.PRNGKey(3)
+    images = np.asarray(jax.random.uniform(key, (30, 32, 32, 3)))
+    labels = np.asarray(victim.predict(jnp.asarray(images)))
+    return ArrayDataset(images, labels)
+
+
+class TestGrid:
+    def test_empty(self):
+        assert ev.expand_grid() == [{}]
+
+    def test_single(self):
+        assert ev.expand_grid("a", [1, 2]) == [{"a": 1}, {"a": 2}]
+
+    def test_four_variables(self):
+        # the reference's get_args caps at 3 swept vars; ours is n-ary
+        out = ev.expand_grid("a", [1, 2], "b", [3], "c", [4, 5], "d", [6])
+        assert len(out) == 4
+        assert {"a": 2, "b": 3, "c": 5, "d": 6} in out
+
+    def test_odd_args_raise(self):
+        with pytest.raises(ValueError):
+            ev.expand_grid("a")
+
+
+class TestMetrics:
+    def test_mse_rmse_golden(self):
+        clean = jnp.ones((2, 4, 4, 3))
+        adv = clean + 0.1
+        mse = ev.compute_mse(adv, clean, reduction="mean")
+        assert mse == pytest.approx(0.01 * 48, rel=1e-4)
+        rmse = ev.compute_rmse(adv, clean, reduction="mean")
+        assert rmse == pytest.approx(0.01 * 48 / 48, rel=1e-4)
+
+    def test_fooling_rate_identity_is_zero(self, victim, dataset):
+        x = jnp.asarray(dataset.images[:8])
+        assert ev.compute_fooling_rate(victim, x, x) == 0.0
+
+    def test_model_accuracy_on_self_labels(self, victim, dataset):
+        # labels were produced by the model itself => accuracy 1.0
+        assert ev.model_accuracy(dataset, victim) == 1.0
+
+    def test_model_accuracy_sharded_matches(self, victim, dataset, devices):
+        mesh = data_mesh(8)
+        acc = ev.model_accuracy_sharded(dataset, victim, mesh, batch_size=4)
+        assert acc == pytest.approx(ev.model_accuracy(dataset, victim))
+
+
+class TestHarness:
+    def test_performance_filters_misclassified(self, victim, dataset):
+        # corrupt half the labels: those rows must be excluded
+        labels = np.asarray(dataset.labels).copy()
+        labels[:15] = (labels[:15] + 1) % 10
+        atk = DeepFool(victim, num_classes=5, steps=10)
+        loader = [(dataset.images, labels)]
+        perf = ev.performance(atk, victim, loader)
+        assert perf["num_samples"] == 15
+        assert 0.0 <= perf["fooling_rate"] <= 1.0
+
+    def test_get_performance_names_all_attacks(self, victim, dataset):
+        atks = {"deepfool": [DeepFool(victim, num_classes=5, steps=5)]}
+        loader = [(dataset.images[:8], dataset.labels[:8])]
+        out = ev.get_performance(atks, victim, loader)
+        # the reference NameErrors for non-adil keys; we key every attack
+        assert len(out["fooling_rate"]) == 1
+        key = next(iter(out["fooling_rate"]))
+        assert "deepfool" in key
+        assert len(out["time"][key]) == 1
+
+    def test_select_hyperparameter_mse_limit(self, victim, dataset):
+        atks = {
+            "deepfool": [
+                DeepFool(victim, num_classes=5, steps=2),
+                DeepFool(victim, num_classes=5, steps=10),
+            ]
+        }
+        loader = [(dataset.images[:8], dataset.labels[:8])]
+        selected, perf, validation = ev.select_hyperparameter(
+            atks, victim, loader, budget=[1e9], criterion="mse_limit"
+        )
+        key = next(iter(perf[0]["fooling_rate"]))
+        assert not np.isnan(perf[0]["fooling_rate"][key])
+        assert len(selected[0][key]) == 1
+
+    def test_select_hyperparameter_no_admissible(self, victim, dataset):
+        atks = {"deepfool": [DeepFool(victim, num_classes=5, steps=5)]}
+        loader = [(dataset.images[:8], dataset.labels[:8])]
+        selected, perf, _ = ev.select_hyperparameter(
+            atks, victim, loader, budget=[-1.0], criterion="mse_limit"
+        )
+        key = next(iter(perf[0]["fooling_rate"]))
+        assert np.isnan(perf[0]["fooling_rate"][key])
+        assert selected[0][key] == []
+
+    def test_transfer_performance(self, victim, dataset):
+        other = create_model("tiny", rng=jax.random.PRNGKey(99))
+        atks = {"deepfool": [DeepFool(victim, num_classes=5, steps=10)]}
+        loader = [(dataset.images[:8], dataset.labels[:8])]
+        out = ev.get_transfer_performance(
+            atks, {"self": victim, "other": other}, loader
+        )
+        assert set(out["deepfool"].keys()) == {"self", "other"}
+        for v in out["deepfool"].values():
+            assert 0.0 <= v["fooling_rate"] <= 1.0
+
+    def test_transfer_empty_attack_list(self, victim, dataset):
+        out = ev.get_transfer_performance(
+            {"none": []}, {"self": victim}, [(dataset.images[:2], dataset.labels[:2])]
+        )
+        assert np.isnan(out["none"]["self"]["fooling_rate"])
