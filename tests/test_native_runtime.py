@@ -1,0 +1,109 @@
+"""Native C++ host-loader tests: decode parity with PIL, prefetch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.runtime import HostLoader, get_runtime
+
+runtime = get_runtime()
+
+pytestmark = pytest.mark.skipif(
+    runtime is None, reason="native runtime unavailable (no toolchain/libjpeg)"
+)
+
+
+@pytest.fixture()
+def jpeg_tree(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths, labels = [], []
+    for c in range(3):
+        for i in range(4):
+            arr = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+            p = tmp_path / f"c{c}_{i}.JPEG"
+            Image.fromarray(arr).save(p, quality=95)
+            paths.append(str(p))
+            labels.append(c)
+    return paths, labels
+
+
+class TestDecodeBatch:
+    def test_decode_matches_pil_transform(self, jpeg_tree):
+        from PIL import Image
+
+        from dl_attack_on_imagenet_tpu.data.imagenet import default_transform
+
+        paths, _ = jpeg_tree
+        out = runtime.decode_batch(paths[:4], size=32, resize=40)
+        assert out.shape == (4, 32, 32, 3)
+        assert out.dtype == np.float32
+        for i in range(4):
+            with open(paths[i], "rb") as f:
+                want = default_transform(Image.open(f), size=32, resize=40)
+            # bilinear resamplers differ slightly at edges; compare loosely
+            assert np.mean(np.abs(out[i] - want)) < 0.03
+            assert 0.0 <= out[i].min() and out[i].max() <= 1.0
+
+    def test_missing_file_errors(self, tmp_path):
+        with pytest.raises(IOError):
+            runtime.decode_batch([str(tmp_path / "nope.JPEG")], size=32)
+
+
+class TestHostLoader:
+    def test_iterates_all_batches_in_order(self, jpeg_tree):
+        paths, labels = jpeg_tree
+        loader = HostLoader(runtime, paths, labels, batch_size=5, image_size=32)
+        assert loader.num_batches == 3
+        seen_labels = []
+        indices = []
+        for idx, images, labs in loader:
+            indices.append(idx)
+            assert images.shape == (5, 32, 32, 3)
+            seen_labels.extend([l for l in labs.tolist() if l >= 0])
+        loader.close()
+        assert indices == [0, 1, 2]
+        assert sorted(seen_labels) == sorted(labels)
+
+    def test_shuffle_changes_order(self, jpeg_tree):
+        paths, labels = jpeg_tree
+        l1 = HostLoader(runtime, paths, labels, batch_size=12, image_size=32,
+                        shuffle=True, seed=1)
+        l2 = HostLoader(runtime, paths, labels, batch_size=12, image_size=32,
+                        shuffle=False)
+        _, _, a = next(iter(l1))
+        _, _, b = next(iter(l2))
+        l1.close(); l2.close()
+        assert sorted(a.tolist()) == sorted(b.tolist())
+        assert a.tolist() != b.tolist()
+
+    def test_padding_labels_minus_one(self, jpeg_tree):
+        paths, labels = jpeg_tree  # 12 files
+        loader = HostLoader(runtime, paths, labels, batch_size=5, image_size=32)
+        batches = list(loader)
+        loader.close()
+        last = batches[-1][2]
+        assert (last == -1).sum() == 3  # 12 = 5+5+2, 3 padded
+
+
+def test_materialize_with_runtime(jpeg_tree, tmp_path):
+    """ImageNetFolder.materialize(runtime=...) uses the native decoder."""
+    from dl_attack_on_imagenet_tpu.data.imagenet import ImageNetFolder
+
+    # build a tiny ILSVRC-shaped tree from the jpeg fixture
+    paths, labels = jpeg_tree
+    root = tmp_path / "root"
+    val = root / "ILSVRC" / "Data" / "val"
+    import shutil
+
+    for p, l in zip(paths, labels):
+        d = val / f"n{l:08d}"
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(p, d / os.path.basename(p))
+    ds = ImageNetFolder(str(root), split="val", image_size=32)
+    arr = ds.materialize(runtime=runtime)
+    assert arr.images.shape == (12, 32, 32, 3)
+    arr_pil = ds.materialize()
+    assert np.mean(np.abs(arr.images - arr_pil.images)) < 0.03
