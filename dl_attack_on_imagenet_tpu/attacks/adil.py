@@ -21,7 +21,7 @@ import numpy as np
 
 from ..data import as_array_dataset
 from ..models import VictimModel
-from ..utils import ArtifactCache
+from ..utils import ArtifactCache, StepTimer, annotate
 from .base import Attack
 from . import adil_core as core
 from .adil_core import AdilConfig
@@ -89,6 +89,7 @@ class ADIL(Attack):
         self.verbose = verbose
         self.dictionary: Optional[jax.Array] = None
         self.history: dict = {}
+        self.timing: dict = {}
 
         # Artifact memoization: train only if the trained-dictionary file is
         # missing (adil.py:94-101).
@@ -154,13 +155,16 @@ class ADIL(Attack):
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
         epoch_fn = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "both")
         loss_all, fooling_all, val_fool = [], [], None
+        timer = StepTimer(warmup=1)
 
         for it in range(self.cfg.steps):
             key, sub = jax.random.split(key)
             batches = core.make_batches(sub, n, self.cfg.batch_size)
-            state, loss, fooling = epoch_fn(
-                state, self.victim.variables, images, labels, batches
-            )
+            with timer.step(), annotate("adil/epoch"):
+                state, loss, fooling = epoch_fn(
+                    state, self.victim.variables, images, labels, batches
+                )
+                jax.block_until_ready(loss)
             loss_all.append(float(loss) / n)
             fooling_all.append(float(fooling) / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
@@ -171,6 +175,7 @@ class ADIL(Attack):
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
 
+        self.timing = timer.summary()
         self._save(state.d, state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })

@@ -1,2 +1,3 @@
 from .checkpoint import ArtifactCache, load_artifact, save_artifact  # noqa: F401
+from .profiling import StepTimer, annotate, trace  # noqa: F401
 from .rng import key_seq  # noqa: F401
