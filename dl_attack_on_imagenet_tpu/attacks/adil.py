@@ -62,6 +62,7 @@ class ADIL(Attack):
         seed: int = 0,
         val_every: Optional[int] = 1,
         verbose: bool = False,
+        stream: Optional[bool] = None,
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -87,6 +88,7 @@ class ADIL(Attack):
         self.seed = seed
         self.val_every = val_every
         self.verbose = verbose
+        self.stream = stream
         self.dictionary: Optional[jax.Array] = None
         self.history: dict = {}
         self.timing: dict = {}
@@ -113,8 +115,21 @@ class ADIL(Attack):
             return
         if self.method == "alter":
             self._learn_alter(data_train, data_val)
+        elif self._should_stream(data_train):
+            self._learn_gd_streamed(data_train, data_val)
         else:
             self._learn_gd(data_train, data_val)
+
+    # Keep the whole dataset resident in HBM (fastest: zero H2D inside the
+    # epoch) unless it exceeds this budget, in which case batches stream
+    # from the host with a device-put lookahead.
+    RESIDENT_BYTES_LIMIT = 8 << 30
+
+    def _should_stream(self, data_train) -> bool:
+        if self.stream is not None:
+            return self.stream
+        ds = as_array_dataset(data_train)
+        return ds.images.nbytes > self.RESIDENT_BYTES_LIMIT
 
     def _prepare(self, data_train, mode):
         ds = as_array_dataset(data_train)
@@ -172,6 +187,91 @@ class ADIL(Attack):
             if self.verbose:
                 print(f"[adil gd] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
             # Convergence: |Δloss| < tol (adil.py:207).
+            if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
+                break
+
+        self.timing = timer.summary()
+        self._save(state.d, state.v, {
+            "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
+        })
+
+    def _learn_gd_streamed(self, data_train, data_val):
+        """Joint projected-AdamW with host-streamed batches.
+
+        Same update semantics as :meth:`_learn_gd`, but images stay on the
+        host and batches flow through a double-buffered device-put lookahead
+        (data/pipeline.py) — the path for datasets larger than HBM (e.g. the
+        full-ImageNet-val universal dictionary, BASELINE.json config 4). The
+        reference's analog is the pinned-memory DataLoader (adil.py:130).
+        """
+        import numpy as np
+
+        from ..data import prefetch_to_device
+
+        ds = as_array_dataset(data_train)
+        n = len(ds)
+        key = self._loss_key()
+        d_init = None
+        if self.warm_start:
+            prev = self.cache.load("ImageNet", model=self.model_name)
+            if prev is not None:
+                d_init = jnp.asarray(prev["d"])
+        state = core.init_state(
+            key, ds.image_shape, n, self.cfg, mode="gd", d_init=d_init
+        )
+        step_fn = jax.jit(
+            core.make_train_step(self.victim.apply_fn, self.cfg, "both"),
+            donate_argnums=(0,),
+        )
+
+        # One streaming pass for clean labels.
+        labels_host = np.empty((n,), np.int64)
+        predict = jax.jit(
+            lambda v_, x: jnp.argmax(
+                self.victim.apply_fn(v_, x).astype(jnp.float32), -1
+            )
+        )
+        for idx, x, _ in ds.batches(self.cfg.batch_size):
+            labels_host[idx] = np.asarray(
+                predict(self.victim.variables, jnp.asarray(x, jnp.float32))
+            )
+
+        loss_all, fooling_all, val_fool = [], [], None
+        timer = StepTimer(warmup=1)
+        bsz = self.cfg.batch_size
+        for it in range(self.cfg.steps):
+            def host_batches(seed):
+                for idx, x, _ in ds.batches(bsz, shuffle=True, seed=seed):
+                    pad = bsz - len(idx)
+                    mask = np.ones((bsz,), np.float32)
+                    if pad:
+                        mask[len(idx):] = 0.0
+                        idx = np.concatenate([idx, np.zeros((pad,), idx.dtype)])
+                        x = np.concatenate(
+                            [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
+                        )
+                    yield (
+                        np.asarray(x, np.float32), labels_host[idx],
+                        np.asarray(idx, np.int32), mask,
+                    )
+
+            loss_sum, fool_sum = 0.0, 0.0
+            with timer.step(), annotate("adil/epoch_streamed"):
+                for x, lab, idx, mask in prefetch_to_device(
+                    host_batches(self.seed + it), size=2
+                ):
+                    state, loss, fooling = step_fn(
+                        state, self.victim.variables, x, lab, idx, mask
+                    )
+                    loss_sum += float(loss)
+                    fool_sum += float(fooling)
+            loss_all.append(loss_sum / n)
+            fooling_all.append(fool_sum / n)
+            if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
+                val_fool = self._val_fooling(state.d, data_val)
+            if self.verbose:
+                print(f"[adil gd/stream] epoch {it} loss {loss_all[-1]:.4f} "
+                      f"fooling {fooling_all[-1]:.3f} val {val_fool}")
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
 
