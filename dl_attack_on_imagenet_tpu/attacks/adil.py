@@ -63,6 +63,8 @@ class ADIL(Attack):
         val_every: Optional[int] = 1,
         verbose: bool = False,
         stream: Optional[bool] = None,
+        checkpoint_every: Optional[int] = None,
+        resume: bool = True,
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -89,6 +91,8 @@ class ADIL(Attack):
         self.val_every = val_every
         self.verbose = verbose
         self.stream = stream
+        self.checkpoint_every = checkpoint_every
+        self.resume = resume
         self.dictionary: Optional[jax.Array] = None
         self.history: dict = {}
         self.timing: dict = {}
@@ -164,6 +168,55 @@ class ADIL(Attack):
             )
         return total / len(ds)
 
+    # -- mid-training checkpointing (step-level resume; the reference only
+    # -- supports warm-starting from a finished dictionary, adil.py:139-143)
+
+    def _train_ckpt_key(self):
+        return dict(model=self.model_name, kind="train_state")
+
+    def _save_train_state(self, state, key, loss_all, fooling_all):
+        from flax import serialization
+
+        payload = {
+            "d": np.asarray(state.d),
+            "v": np.asarray(state.v),
+            "opt_state": serialization.to_state_dict(state.opt_state),
+            "epoch": int(state.epoch),
+            "rng": np.asarray(key),
+            "loss": np.asarray(loss_all, np.float64),
+            "fooling": np.asarray(fooling_all, np.float64),
+        }
+        self.cache.save(payload, "ImageNet", **self._train_ckpt_key())
+
+    def _restore_train_state(self, template_state):
+        from flax import serialization
+
+        payload = self.cache.load("ImageNet", **self._train_ckpt_key())
+        if payload is None:
+            return None
+        opt_state = serialization.from_state_dict(
+            template_state.opt_state, payload["opt_state"]
+        )
+        state = template_state.replace(
+            d=jnp.asarray(payload["d"]),
+            v=jnp.asarray(payload["v"]),
+            opt_state=opt_state,
+            epoch=jnp.asarray(payload["epoch"], jnp.int32),
+        )
+        return (
+            state,
+            jnp.asarray(payload["rng"]),
+            list(payload["loss"]),
+            list(payload["fooling"]),
+        )
+
+    def _clear_train_state(self):
+        import os
+
+        path = self.cache.path("ImageNet", **self._train_ckpt_key())
+        if os.path.exists(path):
+            os.remove(path)
+
     def _learn_gd(self, data_train, data_val):
         """Joint projected-AdamW over (D, v). Reference: adil.py:114-210."""
         ds, images, n, key, state = self._prepare(data_train, "gd")
@@ -172,7 +225,16 @@ class ADIL(Attack):
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
-        for it in range(self.cfg.steps):
+        start_epoch = 0
+        if self.resume and self.checkpoint_every:
+            restored = self._restore_train_state(state)
+            if restored is not None:
+                state, key, loss_all, fooling_all = restored
+                start_epoch = int(state.epoch)
+                if self.verbose:
+                    print(f"[adil gd] resumed at epoch {start_epoch}")
+
+        for it in range(start_epoch, self.cfg.steps):
             key, sub = jax.random.split(key)
             batches = core.make_batches(sub, n, self.cfg.batch_size)
             with timer.step(), annotate("adil/epoch"):
@@ -186,6 +248,8 @@ class ADIL(Attack):
                 val_fool = self._val_fooling(state.d, data_val)
             if self.verbose:
                 print(f"[adil gd] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
+            if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
+                self._save_train_state(state, key, loss_all, fooling_all)
             # Convergence: |Δloss| < tol (adil.py:207).
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
@@ -194,6 +258,8 @@ class ADIL(Attack):
         self._save(state.d, state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
+        if self.checkpoint_every:
+            self._clear_train_state()
 
     def _learn_gd_streamed(self, data_train, data_val):
         """Joint projected-AdamW with host-streamed batches.
