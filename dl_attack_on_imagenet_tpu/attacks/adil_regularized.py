@@ -553,6 +553,7 @@ class ADILR(Attack):
         trials: int = 100,
         budget: float = 10 / 255,
         model_name: Optional[str] = None,
+        param_or_train: str = "param_selecting",
         attack_conditioned: str = "labels_atoms",
         cache: Optional[ArtifactCache] = None,
         seed: int = 0,
@@ -579,9 +580,11 @@ class ADILR(Attack):
         self.mean: Optional[dict] = None
         self.scale: Optional[dict] = None
 
+        # Artifact key mirrors the reference's hyper-mangled filename
+        # (adil_regularized.py:683-686), including the param_or_train tag.
         key = dict(
             model=self.model_name, lam1=lambda_l1, lam2=lambda_l2,
-            atoms=n_atoms, steps=int(steps),
+            atoms=n_atoms, steps=int(steps), tag=param_or_train,
         )
         self._key = key
         if not self.cache.exists("ADILR", **key) and data_train is not None:

@@ -40,13 +40,28 @@ def distributed_env() -> DistributedEnv:
     )
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None and "SLURM_JOB_NODELIST" in os.environ:
-        # First hostname in the nodelist; handles the plain comma-separated
-        # and single-host cases without the external `hostlist` dependency.
-        head = os.environ["SLURM_JOB_NODELIST"].split(",")[0]
-        head = head.split("[")[0].rstrip("-")
+        head = expand_first_host(os.environ["SLURM_JOB_NODELIST"])
         port = os.environ.get("JAX_COORDINATOR_PORT", "12345")
         coordinator = f"{head}:{port}"
     return DistributedEnv(coordinator, num, pid)
+
+
+def expand_first_host(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist, with bracket-range expansion.
+
+    Handles 'node[001-004,007],other[1-2]' -> 'node001' (the reference pulls
+    this from the external ``hostlist`` package, env_setting.py:10-11).
+    """
+    import re
+
+    nodelist = nodelist.strip()
+    m = re.match(r"([^,\[]*)\[([^\]]*)\]", nodelist)
+    if not m:
+        return nodelist.split(",")[0]
+    prefix, ranges = m.group(1), m.group(2)
+    first = ranges.split(",")[0]
+    lo = first.split("-")[0]
+    return f"{prefix}{lo}"
 
 
 _initialized = False
