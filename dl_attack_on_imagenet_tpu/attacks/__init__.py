@@ -11,6 +11,7 @@ from .adil_core import AdilConfig  # noqa: F401
 from .adil_regularized import ADILR, RegularizedConfig  # noqa: F401
 from .deepfool import DeepFool, deepfool_batch  # noqa: F401
 from .fast_uap import DeepFoolCosinus, FastUAP  # noqa: F401
+from .pgd import BIM, FGSM, PGD  # noqa: F401
 from .uap_pgd import UAPPGD  # noqa: F401
 from .universal_pert import universal_perturbation  # noqa: F401
 
@@ -26,4 +27,7 @@ __all__ = [
     "FastUAP",
     "UAPPGD",
     "universal_perturbation",
+    "FGSM",
+    "PGD",
+    "BIM",
 ]

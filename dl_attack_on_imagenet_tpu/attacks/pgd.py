@@ -1,0 +1,136 @@
+"""Per-image gradient attacks: FGSM, BIM, PGD (l∞ / l2).
+
+The reference's experiment driver compares ADiL against torchattacks
+baselines (the commented block at demo_dL_attack.py:96-113 lists BIM, PGD
+variants, FGSM-family attacks, with get_atks hyper-grids). These are the
+TPU-native equivalents: one jitted ``lax.fori_loop`` per batch, no per-step
+host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models import VictimModel
+from ..ops import clamp_image, cross_entropy_mean
+from .base import Attack
+
+ApplyFn = Callable[[Any, jax.Array], jax.Array]
+
+
+def _ce_grad(apply_fn, variables, x, labels, targeted):
+    coeff = -1.0 if targeted else 1.0
+
+    def loss(x):
+        logits = apply_fn(variables, x).astype(jnp.float32)
+        return coeff * cross_entropy_mean(logits, labels)
+
+    return jax.grad(loss)(x)
+
+
+def fgsm(apply_fn, variables, images, labels, eps, targeted=False):
+    """One signed-gradient step (Goodfellow et al.)."""
+    g = _ce_grad(apply_fn, variables, images, labels, targeted)
+    return clamp_image(images + eps * jnp.sign(g))
+
+
+def pgd(
+    apply_fn,
+    variables,
+    images,
+    labels,
+    eps,
+    alpha,
+    steps,
+    norm: str = "linf",
+    random_start: bool = True,
+    targeted: bool = False,
+    key=None,
+):
+    """Projected gradient descent in the eps-ball around the clean images.
+
+    norm='linf': signed-gradient steps, elementwise clamp to ±eps.
+    norm='l2':   normalized-gradient steps, l2-ball projection.
+    random_start=False reproduces BIM (iterative FGSM).
+    """
+    if random_start:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if norm == "linf":
+            delta0 = jax.random.uniform(key, images.shape, minval=-eps, maxval=eps)
+        else:
+            delta0 = jax.random.normal(key, images.shape)
+            nrm = jnp.sqrt(jnp.sum(delta0**2, axis=(1, 2, 3), keepdims=True))
+            delta0 = delta0 / jnp.maximum(nrm, 1e-12) * eps
+    else:
+        delta0 = jnp.zeros_like(images)
+    adv0 = clamp_image(images + delta0)
+
+    def body(_, adv):
+        g = _ce_grad(apply_fn, variables, adv, labels, targeted)
+        if norm == "linf":
+            adv = adv + alpha * jnp.sign(g)
+            delta = jnp.clip(adv - images, -eps, eps)
+        else:
+            gn = jnp.sqrt(jnp.sum(g**2, axis=(1, 2, 3), keepdims=True))
+            adv = adv + alpha * g / jnp.maximum(gn, 1e-12)
+            delta = adv - images
+            dn = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
+            delta = delta * jnp.minimum(1.0, eps / jnp.maximum(dn, 1e-12))
+        return clamp_image(images + delta)
+
+    return jax.lax.fori_loop(0, steps, body, adv0)
+
+
+class FGSM(Attack):
+    def __init__(self, victim: VictimModel, eps: float = 8 / 255, targeted: bool = False):
+        super().__init__(victim, "FGSM", targeted)
+        self.eps = eps
+        self._fn = jax.jit(
+            partial(fgsm, victim.apply_fn, eps=eps, targeted=targeted)
+        )
+
+    def forward(self, images, labels):
+        labels = self.get_target(images, labels)
+        return self._fn(self.victim.variables, images=images, labels=labels)
+
+
+class PGD(Attack):
+    def __init__(
+        self,
+        victim: VictimModel,
+        eps: float = 8 / 255,
+        alpha: float = 2 / 255,
+        steps: int = 10,
+        norm: str = "linf",
+        random_start: bool = True,
+        targeted: bool = False,
+        seed: int = 0,
+    ):
+        super().__init__(victim, "PGD", targeted)
+        self.eps, self.alpha, self.steps = eps, alpha, steps
+        self.norm = norm.lower()
+        self.random_start = random_start
+        self.seed = seed
+        self._fn = jax.jit(
+            partial(
+                pgd, victim.apply_fn, eps=eps, alpha=alpha, steps=steps,
+                norm=self.norm, random_start=random_start, targeted=targeted,
+            )
+        )
+
+    def forward(self, images, labels):
+        labels = self.get_target(images, labels)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), images.shape[0])
+        return self._fn(self.victim.variables, images=images, labels=labels, key=key)
+
+
+class BIM(PGD):
+    """Iterative FGSM = PGD without the random start."""
+
+    def __init__(self, victim, eps=8 / 255, alpha=2 / 255, steps=10, targeted=False):
+        super().__init__(victim, eps, alpha, steps, "linf", False, targeted)
+        self.name = "BIM"
