@@ -54,13 +54,32 @@ def test_config5_vit_attack_and_transfer(tmp_path):
         assert 0.0 <= perf["fooling_rate"] <= 1.0
 
 
-def test_config3_multi_model_accuracy_eval():
+def test_config3_multi_model_fooling_and_accuracy_drop(tmp_path):
+    """Attack one victim, measure fooling + accuracy drop on several models
+    (BASELINE config 3: 'multi-model eval: fooling rate + accuracy drop')."""
+    from dl_attack_on_imagenet_tpu.attacks import PGD
+
     victims = {
         "a": create_model("tiny", rng=jax.random.PRNGKey(7)),
         "b": create_model("tiny", rng=jax.random.PRNGKey(8)),
     }
     x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (16, 32, 32, 3)))
-    ds = ArrayDataset(x, np.asarray(victims["a"].predict(jnp.asarray(x))))
-    accs = {name: ev.model_accuracy(ds, v) for name, v in victims.items()}
-    assert accs["a"] == 1.0  # labeled by itself
-    assert 0.0 <= accs["b"] <= 1.0
+    labels = np.asarray(victims["a"].predict(jnp.asarray(x)))
+    ds = ArrayDataset(x, labels)
+
+    atk = PGD(victims["a"], eps=16 / 255, alpha=4 / 255, steps=20)
+    adv = np.asarray(atk(jnp.asarray(x), jnp.asarray(labels)))
+    adv_ds = ArrayDataset(adv, labels)
+
+    clean_acc = {n: ev.model_accuracy(ds, v) for n, v in victims.items()}
+    adv_acc = {n: ev.model_accuracy(adv_ds, v) for n, v in victims.items()}
+    fooling = {
+        n: ev.compute_fooling_rate(v, adv, x, reduction="mean")
+        for n, v in victims.items()
+    }
+    # White-box victim: strong fooling and a real accuracy drop.
+    assert fooling["a"] >= 0.5
+    assert adv_acc["a"] <= clean_acc["a"] - 0.5
+    # Transfer victim: metrics defined and bounded.
+    assert 0.0 <= fooling["b"] <= 1.0
+    assert 0.0 <= adv_acc["b"] <= 1.0
