@@ -111,9 +111,17 @@ class ADIL(Attack):
         if self.mesh is not None:
             from ..parallel import learn_dictionary_distributed
 
+            d_init = None
+            if self.warm_start:
+                prev = self.cache.load("ImageNet", model=self.model_name)
+                if prev is not None:
+                    d_init = jnp.asarray(prev["d"])
             d, v, history = learn_dictionary_distributed(
                 self.victim, as_array_dataset(data_train), self.cfg, self.mesh,
                 seed=self.seed, verbose=self.verbose,
+                data_val=as_array_dataset(data_val) if data_val is not None else None,
+                val_every=self.val_every or 0,
+                d_init=d_init,
             )
             self._save(d, v, history)
             return

@@ -157,11 +157,16 @@ def learn_dictionary_distributed(
     seed: int = 0,
     verbose: bool = False,
     axis: str = "data",
+    data_val=None,
+    val_every: int = 0,
+    d_init=None,
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Full DP dictionary learning. Returns (d, v_real_rows, history).
 
     Reference: adil.py:334-430 (learn_dictionary_distributed), with the
-    rank-0 gating bug fixed per documented intent.
+    rank-0 gating bug fixed per documented intent, plus warm start
+    (``d_init``) and per-epoch validation fooling — features the reference
+    only has on the serial path (adil.py:139-143, :199-205).
     """
     images_np, _ = dataset.as_arrays()
     n = images_np.shape[0]
@@ -169,7 +174,7 @@ def learn_dictionary_distributed(
     key = jax.random.PRNGKey(seed)
     kd, kv, key = jax.random.split(key, 3)
 
-    d = core.init_dictionary(kd, dataset.image_shape, cfg)
+    d = core.init_dictionary(kd, dataset.image_shape, cfg) if d_init is None else jnp.asarray(d_init)
     n_local = -(-n // n_dev)
     n_pad = n_local * n_dev
     v = core.init_codes(kv, n_pad, cfg, mode="distributed")
@@ -187,7 +192,7 @@ def learn_dictionary_distributed(
 
     epoch_fn = make_dp_epoch_fn(victim.apply_fn, cfg, mesh, axis)
 
-    loss_all, fooling_all = [], []
+    loss_all, fooling_all, val_fool = [], [], None
     for it in range(cfg.steps):
         key, sub = jax.random.split(key)
         batches = jnp.asarray(make_local_batches(sub, n, n_dev, cfg.batch_size))
@@ -199,10 +204,19 @@ def learn_dictionary_distributed(
         )
         loss_all.append(float(loss) / n)
         fooling_all.append(float(fooling) / n)
+        if data_val is not None and val_every and (it + 1) % val_every == 0:
+            val_images = jnp.asarray(data_val.images, jnp.float32)
+            val_fool = float(
+                core.supervised_adamw_codes(
+                    victim.apply_fn, victim.variables, jnp.asarray(d),
+                    val_images, cfg, return_fooling=True,
+                )
+            ) / len(data_val)
         if verbose:
-            print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f}")
+            print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} "
+                  f"fooling {fooling_all[-1]:.3f} val {val_fool}")
         if it > 1 and abs(loss_all[-1] - loss_all[-2]) < cfg.tol:
             break
 
-    history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": None}
+    history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
     return jnp.asarray(d), jnp.asarray(v)[:n], history
