@@ -10,6 +10,7 @@ coordination, a ``jax.sharding.Mesh`` with a ``'data'`` axis, and
 from .mesh import data_mesh, local_devices  # noqa: F401
 from .dist import auto_initialize, distributed_env  # noqa: F401
 from .adil_dp import learn_dictionary_distributed, make_dp_epoch_fn  # noqa: F401
+from .health import check_mesh  # noqa: F401
 
 __all__ = [
     "data_mesh",
@@ -18,4 +19,5 @@ __all__ = [
     "distributed_env",
     "learn_dictionary_distributed",
     "make_dp_epoch_fn",
+    "check_mesh",
 ]
