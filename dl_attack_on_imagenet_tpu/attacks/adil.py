@@ -97,6 +97,31 @@ class ADIL(Attack):
         self.history: dict = {}
         self.timing: dict = {}
 
+        # Jitted inference/val solvers (shape-cached; avoids retracing the
+        # while_loop bodies on every call — the val eval runs every epoch).
+        apply_fn = victim.apply_fn
+        cfg = self.cfg
+        self._ddrague_fn = jax.jit(
+            lambda variables, d, images: core.supervised_ddrague(
+                apply_fn, variables, d, images, cfg
+            )
+        )
+        self._unsup_fn = jax.jit(
+            lambda variables, d, images, key: core.unsupervised_sample(
+                apply_fn, variables, d, images, key, cfg
+            )
+        )
+        self._codes_fn = jax.jit(
+            lambda variables, d, images: core.supervised_adamw_codes(
+                apply_fn, variables, d, images, cfg
+            )
+        )
+        self._val_fn = jax.jit(
+            lambda variables, d, images: core.supervised_adamw_codes(
+                apply_fn, variables, d, images, cfg, return_fooling=True
+            )
+        )
+
         # Artifact memoization: train only if the trained-dictionary file is
         # missing (adil.py:94-101).
         if not self.cache.exists("ImageNet", model=self.model_name) and data_train is not None:
@@ -165,14 +190,7 @@ class ADIL(Attack):
         total = 0.0
         for _, x, _ in ds.batches(self.cfg.batch_size):
             total += float(
-                core.supervised_adamw_codes(
-                    self.victim.apply_fn,
-                    self.victim.variables,
-                    d,
-                    jnp.asarray(x, jnp.float32),
-                    self.cfg,
-                    return_fooling=True,
-                )
+                self._val_fn(self.victim.variables, d, jnp.asarray(x, jnp.float32))
             )
         return total / len(ds)
 
@@ -417,18 +435,13 @@ class ADIL(Attack):
         d = self._load_dictionary()
         images = jnp.asarray(images, jnp.float32)
         if self.attack_mode == "supervised":
-            return core.supervised_ddrague(
-                self.victim.apply_fn, self.victim.variables, d, images, self.cfg
-            )
+            return self._ddrague_fn(self.victim.variables, d, images)
         key = jax.random.fold_in(self._loss_key(), images.shape[0])
-        return core.unsupervised_sample(
-            self.victim.apply_fn, self.victim.variables, d, images, key, self.cfg
-        )
+        return self._unsup_fn(self.victim.variables, d, images, key)
 
     # Direct access to the alternative supervised solver (adil.py:569-623).
     def forward_supervised_adamw(self, images: jax.Array) -> jax.Array:
         d = self._load_dictionary()
-        return core.supervised_adamw_codes(
-            self.victim.apply_fn, self.victim.variables, d,
-            jnp.asarray(images, jnp.float32), self.cfg,
+        return self._codes_fn(
+            self.victim.variables, d, jnp.asarray(images, jnp.float32)
         )

@@ -582,6 +582,14 @@ class ADILR(Attack):
 
         # Artifact key mirrors the reference's hyper-mangled filename
         # (adil_regularized.py:683-686), including the param_or_train tag.
+        # Shape-cached jitted inference solver (avoids retracing the
+        # line-search while_loops every forward call).
+        self._codes_fn = jax.jit(
+            lambda variables, d, images, targets: learn_coding_vectors(
+                victim.apply_fn, variables, d, images, targets, self.cfg
+            )
+        )
+
         key = dict(
             model=self.model_name, lam1=lambda_l1, lam2=lambda_l2,
             atoms=n_atoms, steps=int(steps), tag=param_or_train,
@@ -742,9 +750,7 @@ class ADILR(Attack):
         targets = _targets(
             self.victim.apply_fn, self.victim.variables, images, labels, self.targeted
         )
-        v = learn_coding_vectors(
-            self.victim.apply_fn, self.victim.variables, d, images, targets, self.cfg
-        )
+        v = self._codes_fn(self.victim.variables, d, images, targets)
         dv = linf_clamp(dict_apply(v, d), self.cfg.budget)
         return clamp_image(images + dv)
 
