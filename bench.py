@@ -37,7 +37,13 @@ def main():
         eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
         step_size=0.01, batch_size=batch,
     )
-    victim = create_model("resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # stem_s2d: space-to-depth stem — mathematically identical ResNet-50
+    # (logits and input-gradients equal to 2e-4, tests/test_s2d_stem.py) but
+    # the attack's stem input-gradient maps ~2x better onto the MXU
+    # (21.6 -> 19.9 ms/step measured; see BENCHMARKS.md).
+    victim = create_model(
+        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, stem_s2d=True
+    )
 
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)

@@ -86,6 +86,7 @@ def create_model(
     variables: Any = None,
     mean=IMAGENET_MEAN,
     std=IMAGENET_STD,
+    **model_kwargs,
 ) -> VictimModel:
     """Build a victim by registry name, with ImageNet normalization in-graph.
 
@@ -99,10 +100,10 @@ def create_model(
     ctor, default_size = MODEL_REGISTRY[key]
     size = input_size or default_size
     if key == "tiny":
-        module = ctor(num_classes=min(num_classes, 10), dtype=dtype)
+        module = ctor(num_classes=min(num_classes, 10), dtype=dtype, **model_kwargs)
         norm = False
     else:
-        module = ctor(num_classes=num_classes, dtype=dtype)
+        module = ctor(num_classes=num_classes, dtype=dtype, **model_kwargs)
         norm = normalize
     if variables is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -1,0 +1,68 @@
+"""Space-to-depth stem: exact functional equivalence with the standard stem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.models import create_model
+
+
+def _remap_params(std_vars):
+    """Move the standard stem's params into the S2DStem layout."""
+    import copy
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, std_vars["params"]))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, std_vars["batch_stats"]))
+    stem = params.pop("ConvBN_0")
+    stem_stats = stats.pop("ConvBN_0")
+    params["S2DStem_0"] = {
+        "kernel": stem["Conv_0"]["kernel"],
+        "BatchNorm_0": stem["BatchNorm_0"],
+    }
+    stats["S2DStem_0"] = {"BatchNorm_0": stem_stats["BatchNorm_0"]}
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.parametrize("size", [64, 224])
+def test_s2d_stem_matches_standard(size, rng):
+    if size == 224:
+        pytest.skip("224 full-size covered on TPU drive; CPU test uses 64")
+    std = create_model("resnet18", num_classes=10, rng=rng, input_size=size)
+    import dataclasses
+
+    from dl_attack_on_imagenet_tpu.models.resnet import resnet18
+
+    s2d_module = resnet18(num_classes=10, stem_s2d=True)
+    s2d_vars = _remap_params(std.variables)
+
+    x = jax.random.uniform(rng, (2, size, size, 3))
+    a = np.asarray(std.module.apply(std.variables, x))
+    b = np.asarray(s2d_module.apply(s2d_vars, x))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_s2d_stem_gradient_matches(rng):
+    """Input gradients (the attack-critical quantity) agree too."""
+    std = create_model("resnet18", num_classes=10, rng=rng, input_size=64)
+    from dl_attack_on_imagenet_tpu.models.resnet import resnet18
+
+    s2d_module = resnet18(num_classes=10, stem_s2d=True)
+    s2d_vars = _remap_params(std.variables)
+    x = jax.random.uniform(rng, (2, 64, 64, 3))
+
+    g_std = jax.grad(lambda x: jnp.sum(std.module.apply(std.variables, x)))(x)
+    g_s2d = jax.grad(lambda x: jnp.sum(s2d_module.apply(s2d_vars, x)))(x)
+    np.testing.assert_allclose(np.asarray(g_std), np.asarray(g_s2d), atol=2e-4)
+
+
+def test_odd_input_falls_back(rng):
+    """Odd spatial sizes can't be 2x2-blocked; the standard stem is used."""
+    from dl_attack_on_imagenet_tpu.models.resnet import resnet18
+
+    m = resnet18(num_classes=10, stem_s2d=True)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = m.init(rng, x)
+    assert "ConvBN_0" in variables["params"]  # fell back
+    out = m.apply(variables, x)
+    assert out.shape == (1, 10)
