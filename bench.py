@@ -36,6 +36,8 @@ def main():
     cfg = AdilConfig(
         eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
         step_size=0.01, batch_size=batch,
+        # Mixed-precision perturbation (master D/v + projections stay fp32).
+        perturb_dtype="bfloat16",
     )
     # stem_s2d: space-to-depth stem — mathematically identical ResNet-50
     # (logits and input-gradients equal to 2e-4, tests/test_s2d_stem.py) but
@@ -50,6 +52,7 @@ def main():
     images = jax.random.uniform(k1, (batch, 224, 224, 3))
     state = core.init_state(k2, (224, 224, 3), batch, cfg)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
+    images = images.astype(jnp.bfloat16)  # pre-cast once (resident data)
     # Donated state: D/v/AdamW moments update in place (saves ~1.4 ms/iter
     # of HBM traffic, measured).
     step = jax.jit(core.make_train_step(victim.apply_fn, cfg, "both"),

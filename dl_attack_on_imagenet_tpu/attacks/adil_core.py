@@ -65,6 +65,12 @@ class AdilConfig:
     steps_code: int = 100  # inner v-solver iterations (adil.py:592: fixed 100)
     code_lr: float = 1e-2  # inference-time AdamW lr (adil.py:531, :589)
     tol: float = 1e-6
+    # Training-time compute precision for the perturbation x + Dv.
+    # 'float32' (default) reproduces the reference trajectory; 'bfloat16'
+    # computes the D·v contraction and image add in bf16 (master D/v and all
+    # projections stay fp32 — standard mixed precision), measured ~7% faster
+    # per step on v5e (BENCHMARKS.md). Inference paths always use fp32.
+    perturb_dtype: str = "float32"
 
     @property
     def coeff(self) -> float:
@@ -159,8 +165,16 @@ def _batch_loss(
     Training applies NO pixel clamp on x+dv (reference Attack_dict_model
     forward, adil.py:24-26).
     """
-    dv = dict_apply(v_rows, d)
-    logits = apply_fn(variables, x + dv).astype(jnp.float32)
+    if cfg.perturb_dtype == "bfloat16":
+        d_flat = d.reshape(d.shape[0], -1).astype(jnp.bfloat16)
+        dv = jnp.dot(v_rows.astype(jnp.bfloat16), d_flat).reshape(
+            (x.shape[0],) + d.shape[1:]
+        )
+        x_c = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
+        logits = apply_fn(variables, x_c + dv).astype(jnp.float32)
+    else:
+        dv = dict_apply(v_rows, d)
+        logits = apply_fn(variables, x + dv).astype(jnp.float32)
     if cfg.loss == "ce":
         logp = jax.nn.log_softmax(logits, axis=-1)
         per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]

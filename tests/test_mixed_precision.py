@@ -1,0 +1,55 @@
+"""Mixed-precision (perturb_dtype='bfloat16') training-path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.attacks import AdilConfig
+from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+from dl_attack_on_imagenet_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return create_model("tiny", rng=jax.random.PRNGKey(7))
+
+
+def test_bf16_step_trains_and_projects(victim, rng):
+    cfg = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", batch_size=8,
+                     perturb_dtype="bfloat16")
+    x = jax.random.uniform(rng, (8, 32, 32, 3))
+    labels = core.predict_labels(victim.apply_fn, victim.variables, x)
+    state = core.init_state(rng, (32, 32, 3), 8, cfg)
+    step = core.make_train_step(victim.apply_fn, cfg, "both")
+    idx = jnp.arange(8)
+    mask = jnp.ones((8,))
+    losses = []
+    for _ in range(5):
+        state, loss, fooling = step(state, victim.variables, x, labels, idx, mask)
+        losses.append(float(loss))
+        # master state stays fp32 and projected
+        assert state.d.dtype == jnp.float32
+        assert state.v.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(state.d))) <= 1.0 + 1e-6
+        assert float(jnp.max(jnp.sum(jnp.abs(state.v), axis=1))) <= cfg.eps + 1e-4
+    assert losses[-1] < losses[0]
+
+
+def test_bf16_close_to_fp32_trajectory(victim, rng):
+    x = jax.random.uniform(rng, (8, 32, 32, 3))
+    labels = core.predict_labels(victim.apply_fn, victim.variables, x)
+    idx = jnp.arange(8)
+    mask = jnp.ones((8,))
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", batch_size=8,
+                         perturb_dtype=dtype)
+        state = core.init_state(jax.random.PRNGKey(0), (32, 32, 3), 8, cfg)
+        step = core.make_train_step(victim.apply_fn, cfg, "both")
+        ls = []
+        for _ in range(3):
+            state, loss, _ = step(state, victim.variables, x, labels, idx, mask)
+            ls.append(float(loss))
+        losses[dtype] = ls
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.02)
