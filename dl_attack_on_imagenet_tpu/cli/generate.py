@@ -1,0 +1,141 @@
+"""Batch adversarial generation: the production serving path.
+
+Streams a directory (ILSVRC layout) or a dataset blob through a trained
+ADiL dictionary in fixed-size batches — native C++ decode when available,
+double-buffered host->device prefetch, jitted shape-cached inference — and
+writes adversarial PNGs plus a JSONL report (per-batch fooling/mse/timing).
+
+The reference has no batch-serving entry point (its attacks run inside the
+eval harness only); this generalizes main.py's single-image flow to bulk
+generation.
+
+Usage:
+  python -m dl_attack_on_imagenet_tpu.cli.generate \
+      --model resnet50 --data-root ./data/ImageNet --out-dir ./adv \
+      [--blob imagenet_val.npz] [--batch-size 64] [--mode supervised]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("adil-generate")
+    p.add_argument("--model", default="resnet50")
+    p.add_argument("--data-root", default="./data/ImageNet")
+    p.add_argument("--blob", default=None, help="npz blob from cli.dataset")
+    p.add_argument("--out-dir", default="./adv_out")
+    p.add_argument("--dict-dir", default="trained_dicts")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--mode", default="supervised",
+                   choices=["supervised", "unsupervised"])
+    p.add_argument("--eps", type=float, default=8 / 255)
+    p.add_argument("--steps-inference", type=int, default=100)
+    p.add_argument("--save-images", action="store_true",
+                   help="write adversarial PNGs (default: metrics only)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(args) -> dict:
+    from ..attacks import ADIL
+    from ..data import prefetch_to_device
+    from ..models import create_model
+    from ..utils import ArtifactCache, MetricLogger
+
+    victim = create_model(args.model, rng=jax.random.PRNGKey(args.seed))
+    attack = ADIL(
+        victim, eps=args.eps, model_name=args.model, attack=args.mode,
+        steps_inference=args.steps_inference, cache=ArtifactCache(args.dict_dir),
+    )
+
+    if args.blob:
+        from .dataset import load_blob
+
+        ds, _ = load_blob(args.blob)
+        images, labels = ds.images, ds.labels
+        if args.limit:
+            images, labels = images[: args.limit], labels[: args.limit]
+
+        def host_batches():
+            b = args.batch_size
+            for s in range(0, len(images), b):
+                yield s, images[s : s + b], labels[s : s + b]
+
+    else:
+        from ..data.imagenet import ImageNetFolder
+        from ..runtime import get_runtime
+
+        folder = ImageNetFolder(args.data_root, image_size=victim.input_size)
+        n = min(args.limit or len(folder), len(folder))
+        runtime = get_runtime()
+
+        def host_batches():
+            b = args.batch_size
+            if runtime is not None:
+                from ..runtime import HostLoader
+
+                paths = [folder.samples[i][0] for i in range(n)]
+                labs = [folder.samples[i][1] for i in range(n)]
+                loader = HostLoader(runtime, paths, labs, b, victim.input_size)
+                for idx, x, y in loader:
+                    keep = y >= 0
+                    yield idx * b, x[keep], y[keep]
+                loader.close()
+            else:
+                for s in range(0, n, b):
+                    sub = folder.materialize(range(s, min(s + b, n)))
+                    yield s, sub.images, sub.labels
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    log = MetricLogger(os.path.join(args.out_dir, "report.jsonl"))
+
+    total = 0
+    fooled = 0.0
+    t0 = time.time()
+    for start, x, y in host_batches():
+        x = jnp.asarray(x, jnp.float32)
+        tb = time.time()
+        adv = attack(x, jnp.asarray(y))
+        adv.block_until_ready()
+        dt = time.time() - tb
+        clean_pred = victim.predict(x)
+        adv_pred = victim.predict(adv)
+        batch_fool = float(jnp.sum(clean_pred != adv_pred))
+        mse = float(jnp.mean(jnp.sum((adv - x) ** 2, axis=(1, 2, 3))))
+        total += x.shape[0]
+        fooled += batch_fool
+        log.log(start, n=x.shape[0], fooling=batch_fool / x.shape[0],
+                mse=mse, seconds=dt)
+        if args.save_images:
+            from PIL import Image
+
+            arr = np.asarray(jnp.clip(adv, 0, 1) * 255).astype(np.uint8)
+            for j in range(arr.shape[0]):
+                Image.fromarray(arr[j]).save(
+                    os.path.join(args.out_dir, f"adv_{start + j:06d}.png")
+                )
+
+    summary = {
+        "total": total,
+        "fooling_rate": fooled / max(total, 1),
+        "seconds": time.time() - t0,
+        "images_per_sec": total / max(time.time() - t0, 1e-9),
+    }
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())
