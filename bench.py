@@ -31,7 +31,7 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 BASELINE_ITERS_PER_SEC = 6.5
 
