@@ -40,6 +40,7 @@ def universal_perturbation(
     max_iter_df: int = 10,
     seed: int = 0,
     verbose: bool = False,
+    save_path: Optional[str] = None,
 ) -> Tuple[jax.Array, list]:
     """Returns (perturbation (H,W,C), fooling-rate history).
 
@@ -87,4 +88,8 @@ def universal_perturbation(
         if verbose:
             print(f"[universal_pert] iter {n_iter} fooling {fooling_rate:.3f}")
 
+    if save_path:
+        # .npy persistence parity (universal_pert.py:112-113), explicit path
+        # instead of the reference's name-mangled cwd file.
+        np.save(save_path, np.asarray(v))
     return v, history
