@@ -96,6 +96,7 @@ class ADIL(Attack):
         self.dictionary: Optional[jax.Array] = None
         self.history: dict = {}
         self.timing: dict = {}
+        self._rng_calls = 0  # per-call fold so equal-sized batches differ
 
         # Jitted inference/val solvers (shape-cached; avoids retracing the
         # while_loop bodies on every call — the val eval runs every epoch).
@@ -136,11 +137,15 @@ class ADIL(Attack):
         if self.mesh is not None:
             from ..parallel import learn_dictionary_distributed
 
-            d_init = None
-            if self.warm_start:
-                prev = self.cache.load("ImageNet", model=self.model_name)
-                if prev is not None:
-                    d_init = jnp.asarray(prev["d"])
+            if self.checkpoint_every:
+                import warnings
+
+                warnings.warn(
+                    "checkpoint_every is not yet supported on the mesh "
+                    "training path; training will not be resumable",
+                    stacklevel=2,
+                )
+            d_init = self._load_warm_start()
             d, v, history = learn_dictionary_distributed(
                 self.victim, as_array_dataset(data_train), self.cfg, self.mesh,
                 seed=self.seed, verbose=self.verbose,
@@ -168,18 +173,21 @@ class ADIL(Attack):
         ds = as_array_dataset(data_train)
         return ds.images.nbytes > self.RESIDENT_BYTES_LIMIT
 
+    def _load_warm_start(self):
+        """Previous dictionary as initialization (adil.py:139-143)."""
+        if not self.warm_start:
+            return None
+        prev = self.cache.load("ImageNet", model=self.model_name)
+        return jnp.asarray(prev["d"]) if prev is not None else None
+
     def _prepare(self, data_train, mode):
         ds = as_array_dataset(data_train)
         images = jnp.asarray(ds.images, jnp.float32)
         n = len(ds)
         key = self._loss_key()
-        d_init = None
-        if self.warm_start:
-            prev = self.cache.load("ImageNet", model=self.model_name)
-            if prev is not None:
-                d_init = jnp.asarray(prev["d"])
         state = core.init_state(
-            key, ds.image_shape, n, self.cfg, mode=mode, d_init=d_init
+            key, ds.image_shape, n, self.cfg, mode=mode,
+            d_init=self._load_warm_start(),
         )
         return ds, images, n, key, state
 
@@ -303,13 +311,9 @@ class ADIL(Attack):
         ds = as_array_dataset(data_train)
         n = len(ds)
         key = self._loss_key()
-        d_init = None
-        if self.warm_start:
-            prev = self.cache.load("ImageNet", model=self.model_name)
-            if prev is not None:
-                d_init = jnp.asarray(prev["d"])
         state = core.init_state(
-            key, ds.image_shape, n, self.cfg, mode="gd", d_init=d_init
+            key, ds.image_shape, n, self.cfg, mode="gd",
+            d_init=self._load_warm_start(),
         )
         step_fn = jax.jit(
             core.make_train_step(self.victim.apply_fn, self.cfg, "both"),
@@ -331,7 +335,17 @@ class ADIL(Attack):
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
         bsz = self.cfg.batch_size
-        for it in range(self.cfg.steps):
+
+        start_epoch = 0
+        if self.resume and self.checkpoint_every:
+            restored = self._restore_train_state(state)
+            if restored is not None:
+                state, key, loss_all, fooling_all = restored
+                start_epoch = int(state.epoch)
+                if self.verbose:
+                    print(f"[adil gd/stream] resumed at epoch {start_epoch}")
+
+        for it in range(start_epoch, self.cfg.steps):
             def host_batches(seed):
                 for idx, x, _ in ds.batches(bsz, shuffle=True, seed=seed):
                     pad = bsz - len(idx)
@@ -357,6 +371,7 @@ class ADIL(Attack):
                     )
                     loss_sum += float(loss)
                     fool_sum += float(fooling)
+            state = state.replace(epoch=state.epoch + 1)
             loss_all.append(loss_sum / n)
             fooling_all.append(fool_sum / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
@@ -364,6 +379,8 @@ class ADIL(Attack):
             if self.verbose:
                 print(f"[adil gd/stream] epoch {it} loss {loss_all[-1]:.4f} "
                       f"fooling {fooling_all[-1]:.3f} val {val_fool}")
+            if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
+                self._save_train_state(state, key, loss_all, fooling_all)
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
 
@@ -371,6 +388,8 @@ class ADIL(Attack):
         self._save(state.d, state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
+        if self.checkpoint_every:
+            self._clear_train_state()
 
     def _learn_alter(self, data_train, data_val):
         """Alternating v-phase / d-phase. Reference: adil.py:212-332."""
@@ -436,7 +455,8 @@ class ADIL(Attack):
         images = jnp.asarray(images, jnp.float32)
         if self.attack_mode == "supervised":
             return self._ddrague_fn(self.victim.variables, d, images)
-        key = jax.random.fold_in(self._loss_key(), images.shape[0])
+        self._rng_calls += 1
+        key = jax.random.fold_in(self._loss_key(), self._rng_calls)
         return self._unsup_fn(self.victim.variables, d, images, key)
 
     # Direct access to the alternative supervised solver (adil.py:569-623).

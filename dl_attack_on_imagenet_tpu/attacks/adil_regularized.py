@@ -76,17 +76,23 @@ def _targets(apply_fn, variables, images, labels, targeted: bool):
     return order[:, -2]
 
 
-def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedConfig):
+def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedConfig,
+                 weights=None):
     """coeff*CE_sum(model(x+Dv), targets) + 0.5*lambda_l2*||Dv||^2.
 
     Evaluated full-batch (images resident); the reference iterates a
     DataLoader accumulating the same sum (adil_regularized.py:107-113).
+    ``weights`` (N,) masks padded rows out of both terms.
     """
     dv = dict_apply(v, d)
     logits = apply_fn(variables, images + dv).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
-    return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+    ce_per = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    sq_per = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
+    if weights is not None:
+        ce_per = ce_per * weights
+        sq_per = sq_per * weights
+    return cfg.coeff * jnp.sum(ce_per) + 0.5 * cfg.lambda_l2 * jnp.sum(sq_per)
 
 
 def _l1(v, cfg):
@@ -250,19 +256,27 @@ def sadil(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    n_batches = n // bsz  # reference uses fixed unshuffled slices
+    # Cover the ragged tail (the reference's get_slices includes the short
+    # final slice, utils.py:153-156) by padding rows and masking them out.
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
+    weights = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
+    if pad:
+        images = jnp.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
+        targets = jnp.pad(targets, (0, pad))
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
     )
-    v = jnp.zeros((n, cfg.n_atoms))
+    v = jnp.zeros((n + pad, cfg.n_atoms))
 
-    def batch_smooth(d_, v_rows, x, t):
+    def batch_smooth(d_, v_rows, x, t, w):
         dv = dict_apply(v_rows, d_)
         logits = apply_fn(variables, x + dv).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.sum(jnp.take_along_axis(logp, t[:, None], axis=-1))
-        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+        ce = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+        sq = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
+        return cfg.coeff * jnp.sum(ce * w) + 0.5 * cfg.lambda_l2 * jnp.sum(sq * w)
 
     @jax.jit
     def epoch(d, v):
@@ -271,12 +285,13 @@ def sadil(
             sl = b * bsz
             x = jax.lax.dynamic_slice_in_dim(images, sl, bsz)
             t = jax.lax.dynamic_slice_in_dim(targets, sl, bsz)
+            w = jax.lax.dynamic_slice_in_dim(weights, sl, bsz)
             v_rows = jax.lax.dynamic_slice_in_dim(v, sl, bsz)
             # D-step
-            g_d = jax.grad(lambda d_: batch_smooth(d_, v_rows, x, t))(d)
+            g_d = jax.grad(lambda d_: batch_smooth(d_, v_rows, x, t, w))(d)
             d = project_atoms(d - cfg.step_size * g_d, cfg.dict_set)
             # v-step
-            g_v = jax.grad(lambda vr: batch_smooth(d, vr, x, t))(v_rows)
+            g_v = jax.grad(lambda vr: batch_smooth(d, vr, x, t, w))(v_rows)
             v_rows = soft_threshold(
                 v_rows - cfg.step_size * g_v, cfg.step_size * cfg.lambda_l1
             )
@@ -288,7 +303,8 @@ def sadil(
 
     @jax.jit
     def full_loss(d, v):
-        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg) + _l1(v, cfg)
+        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg,
+                            weights) + _l1(v, cfg)
 
     losses = [float(full_loss(d, v))]
     for _ in range(nepochs):
@@ -296,7 +312,7 @@ def sadil(
         losses.append(float(full_loss(d, v)))
         if abs(losses[-1] - losses[-2]) < tol:
             break
-    return d, v, losses
+    return d, v[:n], losses
 
 
 def sadil_updated(
@@ -323,22 +339,29 @@ def sadil_updated(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    n_batches = n // bsz
+    # Ragged tail covered via padded rows + masks (see sadil).
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
+    weights = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
+    if pad:
+        images = jnp.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
+        targets = jnp.pad(targets, (0, pad))
     delta, beta = 0.5, 0.5
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
     )
-    v = jnp.zeros((n, cfg.n_atoms))
+    v = jnp.zeros((n + pad, cfg.n_atoms))
     step_v = jnp.asarray(cfg.step_size)
     step_d = jnp.asarray(cfg.step_size)
 
-    def batch_smooth(d_, v_rows, x, t):
+    def batch_smooth(d_, v_rows, x, t, w):
         dv = dict_apply(v_rows, d_)
         logits = apply_fn(variables, x + dv).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.sum(jnp.take_along_axis(logp, t[:, None], axis=-1))
-        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
+        ce = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+        sq = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
+        return cfg.coeff * jnp.sum(ce * w) + 0.5 * cfg.lambda_l2 * jnp.sum(sq * w)
 
     @jax.jit
     def epoch(d, v, step_v):
@@ -350,15 +373,16 @@ def sadil_updated(
             sl = b * bsz
             x = jax.lax.dynamic_slice_in_dim(images, sl, bsz)
             t = jax.lax.dynamic_slice_in_dim(targets, sl, bsz)
+            w = jax.lax.dynamic_slice_in_dim(weights, sl, bsz)
             v_rows = jax.lax.dynamic_slice_in_dim(v, sl, bsz)
 
             loss_old, g_v = jax.value_and_grad(
-                lambda vr: batch_smooth(d, vr, x, t)
+                lambda vr: batch_smooth(d, vr, x, t, w)
             )(v_rows)
             loss_old = loss_old + cfg.lambda_l1 * jnp.sum(jnp.abs(v_rows))
             v_new = soft_threshold(v_rows - step_v * g_v, step_v * cfg.lambda_l1)
 
-            loss_cur = batch_smooth(d, v_new, x, t) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_new))
+            loss_cur = batch_smooth(d, v_new, x, t, w) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_new))
             dh = (
                 jnp.sum(g_v * (v_new - v_rows))
                 + 0.5 / step_v * jnp.sum((v_new - v_rows) ** 2)
@@ -375,7 +399,7 @@ def sadil_updated(
                 i, _, dh_c = ls
                 i = i + 1
                 v_try = (delta**i) * v_new + (1 - delta**i) * v_rows
-                loss_c = batch_smooth(d, v_try, x, t) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_try))
+                loss_c = batch_smooth(d, v_try, x, t, w) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_try))
                 return (i, loss_c, dh_c * delta)
 
             i_fin, _, _ = jax.lax.while_loop(
@@ -383,7 +407,7 @@ def sadil_updated(
             )
             v = jax.lax.dynamic_update_slice_in_dim(v, v_new, sl, axis=0)
 
-            g_d = jax.grad(lambda d_: batch_smooth(d_, v_new, x, t))(d)
+            g_d = jax.grad(lambda d_: batch_smooth(d_, v_new, x, t, w))(d)
             return (v, jnp.maximum(i_max, i_fin), g_d_acc + g_d), None
 
         (v, i_max, g_d), _ = jax.lax.scan(
@@ -393,7 +417,8 @@ def sadil_updated(
 
     @jax.jit
     def full_loss(d, v):
-        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg) + _l1(v, cfg)
+        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg,
+                            weights) + _l1(v, cfg)
 
     @jax.jit
     def d_update(d, v, g_d, step_d):
@@ -430,7 +455,7 @@ def sadil_updated(
             losses.append(losses[-1])
         if abs(losses[-1] - losses[-2]) < tol:
             break
-    return d, v, losses
+    return d, v[:n], losses
 
 
 # ---------------------------------------------------------------------------
@@ -579,6 +604,7 @@ class ADILR(Attack):
         self.dictionary: Optional[jax.Array] = None
         self.mean: Optional[dict] = None
         self.scale: Optional[dict] = None
+        self._rng_calls = 0
 
         # Artifact key mirrors the reference's hyper-mangled filename
         # (adil_regularized.py:683-686), including the param_or_train tag.
@@ -758,7 +784,8 @@ class ADILR(Attack):
         if self.dictionary is None and not self.cache.exists("ADILR", **self._key):
             self.learn_dictionary((np.asarray(images), np.asarray(labels)))
         images = jnp.asarray(images, jnp.float32)
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), images.shape[0])
+        self._rng_calls += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._rng_calls)
         if self.attack_mode == "supervised":
             return self.forward_supervised(images, labels)
         mode = self.attack_conditioned

@@ -115,6 +115,7 @@ class PGD(Attack):
         self.norm = norm.lower()
         self.random_start = random_start
         self.seed = seed
+        self._rng_calls = 0
         self._fn = jax.jit(
             partial(
                 pgd, victim.apply_fn, eps=eps, alpha=alpha, steps=steps,
@@ -124,7 +125,8 @@ class PGD(Attack):
 
     def forward(self, images, labels):
         labels = self.get_target(images, labels)
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), images.shape[0])
+        self._rng_calls += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._rng_calls)
         return self._fn(self.victim.variables, images=images, labels=labels, key=key)
 
 

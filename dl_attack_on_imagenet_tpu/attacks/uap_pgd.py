@@ -14,6 +14,7 @@ mp.spawn arg mismatch — SURVEY.md §2.4) have no counterpart here.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Optional
 
@@ -73,7 +74,11 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
                 has_aux=True,
             )(e)
             if mesh is not None:
-                g = jax.lax.psum(g, axis)
+                # DDP all-reduce AVERAGES gradients (the reference wraps the
+                # perturbation in DistributedDataParallel, uappgd.py:128-149),
+                # and the loss is a per-device batch mean — pmean keeps the
+                # effective step size identical to the serial path.
+                g = jax.lax.pmean(g, axis)
                 loss = jax.lax.pmean(loss, axis)
                 fooling = jax.lax.psum(fooling, axis)
             updates, opt_state = opt.update(g, opt_state, e)
@@ -105,12 +110,10 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
     return jax.jit(run)
 
 
-def additive_fooling_rate(apply_fn, variables, e, images, batch_size=128):
-    """Fraction of images whose prediction changes under ``x + e``.
-
-    Reference: attacks/utils.py:189-200 (compute_fooling_rate).
-    """
-    n = images.shape[0]
+@functools.lru_cache(maxsize=32)
+def _batch_fool_fn(apply_fn):
+    """Per-victim jitted fooling counter (cached so per-epoch callers don't
+    recompile the model forward every invocation)."""
 
     @jax.jit
     def batch_fool(vars_, x, e):
@@ -118,6 +121,16 @@ def additive_fooling_rate(apply_fn, variables, e, images, batch_size=128):
         pert = jnp.argmax(apply_fn(vars_, x + e).astype(jnp.float32), -1)
         return jnp.sum(clean != pert)
 
+    return batch_fool
+
+
+def additive_fooling_rate(apply_fn, variables, e, images, batch_size=128):
+    """Fraction of images whose prediction changes under ``x + e``.
+
+    Reference: attacks/utils.py:189-200 (compute_fooling_rate).
+    """
+    n = images.shape[0]
+    batch_fool = _batch_fool_fn(apply_fn)
     total = 0
     for s in range(0, n, batch_size):
         total += int(batch_fool(variables, images[s : s + batch_size], e))

@@ -47,7 +47,13 @@ def get_atks(victim: VictimModel, attack_cls, *grid_args, **kwargs) -> list:
 
 def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = False):
     """Fooling/RMSE/MSE over batches, restricted to correctly-classified
-    inputs (performance.py:154-177)."""
+    inputs (performance.py:154-177).
+
+    The kept rows are padded back to the incoming batch size before calling
+    the attack so the jitted solvers see ONE shape per loader batch size —
+    ragged keep-counts would otherwise trigger a full victim recompile per
+    distinct count (minutes each on the TPU tunnel).
+    """
     num_samples = 0
     fooling = 0.0
     rmse = 0.0
@@ -59,12 +65,21 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
         keep = np.asarray(pre == y)
         if not keep.any():
             continue
-        x, y = x[keep], y[keep]
-        num_samples += int(keep.sum())
-        adv = attack(x, y)
-        fooling += compute_fooling_rate(victim, adv, x)
-        rmse += compute_rmse(adv, x)
-        mse += compute_mse(adv, x)
+        k = int(keep.sum())
+        b = x.shape[0]
+        xk, yk = x[keep], y[keep]
+        if k < b:
+            x_in = jnp.concatenate([xk, jnp.repeat(xk[:1], b - k, axis=0)])
+            y_in = jnp.concatenate([yk, jnp.repeat(yk[:1], b - k, axis=0)])
+        else:
+            x_in, y_in = xk, yk
+        num_samples += k
+        adv = attack(x_in, y_in)[:k]
+        fooling += compute_fooling_rate(
+            victim, adv, xk, clean_labels=jnp.asarray(pre)[keep]
+        )
+        rmse += compute_rmse(adv, xk)
+        mse += compute_mse(adv, xk)
     denom = max(num_samples, 1)
     return {
         "fooling_rate": fooling / denom,

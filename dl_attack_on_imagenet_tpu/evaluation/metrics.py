@@ -16,11 +16,17 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models import VictimModel
 
 
-def compute_fooling_rate(victim: VictimModel, adversary, clean, reduction="sum"):
-    """Label-change fooling criterion (performance.py:238-246)."""
-    label_clean = victim.predict(jnp.asarray(clean))
+def compute_fooling_rate(victim: VictimModel, adversary, clean, reduction="sum",
+                         clean_labels=None):
+    """Label-change fooling criterion (performance.py:238-246).
+
+    Pass ``clean_labels`` when the clean predictions are already known to
+    skip one model forward.
+    """
+    if clean_labels is None:
+        clean_labels = victim.predict(jnp.asarray(clean))
     label_adv = victim.predict(jnp.asarray(adversary))
-    diff = (label_clean != label_adv).astype(jnp.float32)
+    diff = (jnp.asarray(clean_labels) != label_adv).astype(jnp.float32)
     return float(jnp.sum(diff) if reduction == "sum" else jnp.mean(diff))
 
 

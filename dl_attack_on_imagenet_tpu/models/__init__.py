@@ -123,6 +123,10 @@ def create_model(
         def apply_fn(vars_, x):
             return module.apply(vars_, x)
 
+    # Jit once: VictimModel.__call__/predict run in eval/serving hot loops
+    # (nested jit inside attack jits simply inlines).
+    apply_fn = jax.jit(apply_fn)
+
     return VictimModel(
         name=key,
         module=module,

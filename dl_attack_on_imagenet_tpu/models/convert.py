@@ -21,7 +21,6 @@ ViT needs a dedicated mapping (torch fuses qkv into ``in_proj``); see
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -30,12 +29,14 @@ _AUX_PREFIXES = ("AuxLogits.", "aux1.", "aux2.")
 _SKIP_SUFFIXES = ("num_batches_tracked",)
 
 
-def _natural_key(s: str):
-    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
-
-
 def _walk_flax_modules(params: Dict, batch_stats: Dict, path=()) -> List[Tuple[tuple, str]]:
-    """Yield (path, kind) leaf slots in call order.
+    """Yield (path, kind) leaf slots in call (execution) order.
+
+    Relies on Flax preserving submodule insertion order in the params dict
+    (first-use order during ``module.init``), which matches torch
+    state_dict insertion order for architectures defined in execution order
+    — so convert on freshly-initialized variables, not on trees whose key
+    order was destroyed by other serialization.
 
     kind in {conv_kernel, dense_kernel, bias, bn_scale, bn_bias, bn_mean,
     bn_var, other}. BatchNorm modules expand into the torch emission order
@@ -44,7 +45,7 @@ def _walk_flax_modules(params: Dict, batch_stats: Dict, path=()) -> List[Tuple[t
     out: List[Tuple[tuple, str]] = []
     if not isinstance(params, dict):
         return out
-    keys = sorted(params.keys(), key=_natural_key)
+    keys = list(params.keys())
     # A BatchNorm module in flax params has exactly {scale, bias} leaves.
     if set(keys) <= {"scale", "bias"} and "scale" in keys:
         out.append((path + ("scale",), "bn_scale"))

@@ -82,7 +82,8 @@ class HostLoader:
     """Prefetching batch iterator over (paths, labels) backed by C++ threads.
 
     Yields (batch_index, images (B, S, S, 3) float32, labels (B,) int64) with
-    -1 labels marking padding in the final batch.
+    -1 labels marking padding in the final batch and -2 marking failed
+    decodes (corrupt/non-JPEG files) — filter with ``labels >= 0``.
     """
 
     def __init__(

@@ -209,9 +209,15 @@ struct Loader {
         int64_t pos = b * this->batch + i;
         if (pos >= static_cast<int64_t>(order.size())) break;
         int64_t idx = order[pos];
-        decode_transform(paths[idx].c_str(), size, resize,
-                         batch.images.data() + static_cast<size_t>(i) * img_elems);
-        batch.labels[i] = labels[idx];
+        // Failed decodes (corrupt file, non-JPEG format) get label -2 so
+        // consumers can distinguish them from padding (-1) and filter them
+        // instead of silently training/serving on black images.
+        if (decode_transform(paths[idx].c_str(), size, resize,
+                             batch.images.data() + static_cast<size_t>(i) * img_elems)) {
+          batch.labels[i] = labels[idx];
+        } else {
+          batch.labels[i] = -2;
+        }
       }
       std::unique_lock<std::mutex> lock(mu);
       cv_push.wait(lock, [&] { return ready.size() < queue_depth || stop; });

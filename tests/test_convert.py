@@ -31,6 +31,55 @@ def test_sequence_roundtrip(name, size, rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_real_torchvision_resnet18_key_order(rng):
+    """Conversion must work with a state_dict in GENUINE torchvision order
+    and naming — conv before bn, stem first, downsample last per block,
+    num_batches_tracked interleaved (the review-found failure mode: the old
+    alphabetical walk paired the stem conv with a block BatchNorm)."""
+    m = create_model("resnet18", num_classes=10, rng=rng, input_size=64)
+
+    # torchvision resnet18 key order:
+    keys = ["conv1.weight"] + [f"bn1.{s}" for s in
+            ("weight", "bias", "running_mean", "running_var", "num_batches_tracked")]
+    blocks = {1: 2, 2: 2, 3: 2, 4: 2}
+    for layer, nblocks in blocks.items():
+        for b in range(nblocks):
+            pre = f"layer{layer}.{b}"
+            for conv in (1, 2):
+                keys.append(f"{pre}.conv{conv}.weight")
+                keys += [f"{pre}.bn{conv}.{s}" for s in
+                         ("weight", "bias", "running_mean", "running_var",
+                          "num_batches_tracked")]
+            if layer > 1 and b == 0:
+                keys.append(f"{pre}.downsample.0.weight")
+                keys += [f"{pre}.downsample.1.{s}" for s in
+                         ("weight", "bias", "running_mean", "running_var",
+                          "num_batches_tracked")]
+    keys += ["fc.weight", "fc.bias"]
+
+    # Values: take our model's tensors in execution order (the inverse
+    # transform emits exactly the torch-layout sequence).
+    seq = list(flax_to_torch_state_dict(m.variables).values())
+    sd = {}
+    it = iter(seq)
+    for k in keys:
+        if k.endswith("num_batches_tracked"):
+            sd[k] = np.zeros((), np.int64)
+        else:
+            sd[k] = next(it)
+    assert next(it, None) is None  # consumed everything
+
+    m2 = create_model("resnet18", num_classes=10, rng=jax.random.PRNGKey(42),
+                      input_size=64)
+    restored = convert_torch_state_dict(sd, m2.variables)
+    x = jax.random.uniform(rng, (1, 64, 64, 3))
+    np.testing.assert_allclose(
+        np.asarray(m.module.apply(m.variables, x)),
+        np.asarray(m.module.apply(restored, x)),
+        atol=1e-5,
+    )
+
+
 def test_count_mismatch_raises(rng):
     m = create_model("tiny", rng=rng)
     sd = flax_to_torch_state_dict(m.variables)
