@@ -424,7 +424,9 @@ class ADIL(Attack):
 
     def _save(self, d, v, history):
         payload = {"d": np.asarray(d), "v": np.asarray(v)}
-        payload.update({k: (np.asarray(val) if val is not None else np.zeros(0)) for k, val in history.items()})
+        # None history entries (e.g. no val set) are omitted — zero-size
+        # placeholders break the orbax backend.
+        payload.update({k: np.asarray(val) for k, val in history.items() if val is not None})
         self.cache.save(payload, "ImageNet", model=self.model_name)
         self.dictionary = jnp.asarray(d)
         self.history = history

@@ -49,21 +49,46 @@ class ArtifactCache:
     ``ArtifactCache(root)("ImageNet", model="resnet", n_atoms=100)`` yields a
     stable filename; the reference's magic relative paths (adil.py:89-91)
     become explicit, configurable keys.
+
+    ``backend='msgpack'`` (default) writes single flat files;
+    ``backend='orbax'`` uses orbax StandardCheckpointer directories — the
+    TPU-ecosystem checkpoint format (sharding-aware, async-capable), useful
+    when artifacts grow beyond comfortable single-file sizes.
     """
 
-    def __init__(self, root: str = "trained_dicts"):
+    def __init__(self, root: str = "trained_dicts", backend: str = "msgpack"):
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown backend {backend}")
         self.root = root
+        self.backend = backend
 
     def path(self, prefix: str, **hyper: Any) -> str:
         parts = [prefix] + [f"{k}_{hyper[k]}" for k in sorted(hyper)]
-        return os.path.join(self.root, "_".join(str(p) for p in parts) + ".msgpack")
+        suffix = ".msgpack" if self.backend == "msgpack" else ".orbax"
+        return os.path.join(self.root, "_".join(str(p) for p in parts) + suffix)
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer()
 
     def load(self, prefix: str, **hyper: Any):
-        return load_artifact(self.path(prefix, **hyper))
+        p = self.path(prefix, **hyper)
+        if self.backend == "orbax":
+            if not os.path.exists(p):
+                return None
+            return self._checkpointer().restore(os.path.abspath(p))
+        return load_artifact(p)
 
     def save(self, payload: Dict[str, Any], prefix: str, **hyper: Any) -> str:
         p = self.path(prefix, **hyper)
-        save_artifact(p, payload)
+        if self.backend == "orbax":
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+            ckptr = self._checkpointer()
+            ckptr.save(os.path.abspath(p), _to_host(payload), force=True)
+            ckptr.wait_until_finished()
+        else:
+            save_artifact(p, payload)
         return p
 
     def exists(self, prefix: str, **hyper: Any) -> bool:
