@@ -679,8 +679,13 @@ class ADILR(Attack):
             self.mean["labels_atoms"] = loc_l
             self.scale["labels_atoms"] = scale_l
         if ds is not None:
+            from .adil_core import predict_labels
+
             preds = np.asarray(
-                self.victim.predict(jnp.asarray(ds.images, jnp.float32))
+                predict_labels(
+                    self.victim.apply_fn, self.victim.variables,
+                    jnp.asarray(ds.images, jnp.float32),
+                )
             )
             loc_p, scale_p = laplace_fit_conditioned(v, preds, num_classes)
             self.mean["predictions_atoms"] = loc_p
