@@ -6,6 +6,7 @@ projection/loss helpers inside /root/reference/attacks/attacks_classes/adil.py.
 
 from .projections import (
     l1_ball_project,
+    l1_ball_project_bisect,
     l2_ball_project,
     l2_sphere_project,
     linf_clamp,
@@ -38,6 +39,7 @@ from .laplace import (
 
 __all__ = [
     "l1_ball_project",
+    "l1_ball_project_bisect",
     "l2_ball_project",
     "l2_sphere_project",
     "linf_clamp",

@@ -74,6 +74,47 @@ def l1_ball_project(x: jax.Array, eps: float) -> jax.Array:
     return out.reshape(orig_shape)
 
 
+def l1_ball_project_bisect(
+    x: jax.Array, eps: float, iters: int = 50
+) -> jax.Array:
+    """l1-ball projection via bisection on the soft-threshold level theta.
+
+    The projection is ``sign(x) * relu(|x| - theta)`` where theta >= 0
+    solves ``sum(relu(|x| - theta)) = eps`` — monotone in theta, so bisection
+    over [0, max|x|] converges to float32 precision in ~50 halvings of pure
+    elementwise/reduce passes. On TPU this is the right formulation for
+    long rows (the Duchi sort over a 224*224*3-dim vector maps poorly onto
+    the hardware — SURVEY.md §7 hard part (e)); results match
+    :func:`l1_ball_project` to ~1e-6.
+
+    Same row convention as :func:`l1_ball_project`.
+    """
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1]) if x.ndim != 2 else x
+
+    abs_x = jnp.abs(x2)
+    norms = jnp.sum(abs_x, axis=1)
+    inside = norms < eps
+
+    lo = jnp.zeros_like(norms)
+    hi = jnp.max(abs_x, axis=1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        s = jnp.sum(jnp.maximum(abs_x - mid[:, None], 0.0), axis=1)
+        too_big = s > eps  # need larger theta
+        lo = jnp.where(too_big, mid, lo)
+        hi = jnp.where(too_big, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    theta = 0.5 * (lo + hi)
+    proj = jnp.maximum(abs_x - theta[:, None], 0.0) * jnp.sign(x2)
+    out = jnp.where(inside[:, None], x2, proj)
+    return out.reshape(orig_shape)
+
+
 def l2_ball_project(x: jax.Array, radius: float = 1.0, axis=None) -> jax.Array:
     """Project onto the l2 ball of the given radius.
 
@@ -118,7 +159,12 @@ def project_atoms(d: jax.Array, constraint: str = "l2ball") -> jax.Array:
     elif constraint == "l2ball":
         out = l2_ball_project(flat, 1.0, axis=1)
     elif constraint == "l1ball":
-        out = l1_ball_project(flat, 1.0)
+        # Atom rows are H*W*C-dimensional (~150k): bisection beats the
+        # sort-based form on TPU (see l1_ball_project_bisect).
+        if flat.shape[1] > 4096:
+            out = l1_ball_project_bisect(flat, 1.0)
+        else:
+            out = l1_ball_project(flat, 1.0)
     else:
         raise ValueError(f"unknown dictionary constraint: {constraint}")
     return out.reshape(d.shape)

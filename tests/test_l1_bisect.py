@@ -1,0 +1,49 @@
+"""Bisection l1-ball projection: agreement with the exact Duchi form."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.ops import (
+    l1_ball_project,
+    l1_ball_project_bisect,
+    project_atoms,
+)
+
+
+def test_matches_duchi_small(rng):
+    x = jax.random.normal(rng, (8, 100)) * 3
+    a = l1_ball_project(x, 1.5)
+    b = l1_ball_project_bisect(x, 1.5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_matches_duchi_long_rows(rng):
+    x = jax.random.normal(rng, (4, 30000)) * 2
+    a = l1_ball_project(x, 1.0)
+    b = l1_ball_project_bisect(x, 1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.abs(b), axis=1)), 1.0, atol=1e-3
+    )
+
+
+def test_inside_ball_identity(rng):
+    x = jax.random.normal(rng, (4, 50)) * 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(l1_ball_project_bisect(x, 1.0)), np.asarray(x)
+    )
+
+
+def test_zero_rows(rng):
+    x = jnp.zeros((3, 20))
+    out = l1_ball_project_bisect(x, 1.0)
+    np.testing.assert_array_equal(np.asarray(out), 0)
+
+
+def test_project_atoms_l1_long_uses_bisect(rng):
+    d = jax.random.normal(rng, (3, 64, 64, 3)) * 2  # rows of 12288 > 4096
+    out = project_atoms(d, "l1ball")
+    norms = jnp.sum(jnp.abs(out.reshape(3, -1)), axis=1)
+    assert bool(jnp.all(norms <= 1.0 + 1e-3))
