@@ -398,17 +398,20 @@ class ADIL(Attack):
         epoch_v = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "v")
         epoch_d = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "d")
         loss_all, fooling_all, val_fool = [], [], None
+        timer = StepTimer(warmup=1)
 
         outer = max(self.cfg.steps // self.cfg.steps_inner, 1)
         for it in range(outer):
-            for _ in range(self.cfg.steps_inner):
-                key, sub = jax.random.split(key)
-                batches = core.make_batches(sub, n, self.cfg.batch_size)
-                state, loss_v, _ = epoch_v(state, self.victim.variables, images, labels, batches)
-            for _ in range(self.cfg.steps_inner):
-                key, sub = jax.random.split(key)
-                batches = core.make_batches(sub, n, self.cfg.batch_size)
-                state, loss_d, fooling = epoch_d(state, self.victim.variables, images, labels, batches)
+            with timer.step():
+                for _ in range(self.cfg.steps_inner):
+                    key, sub = jax.random.split(key)
+                    batches = core.make_batches(sub, n, self.cfg.batch_size)
+                    state, loss_v, _ = epoch_v(state, self.victim.variables, images, labels, batches)
+                for _ in range(self.cfg.steps_inner):
+                    key, sub = jax.random.split(key)
+                    batches = core.make_batches(sub, n, self.cfg.batch_size)
+                    state, loss_d, fooling = epoch_d(state, self.victim.variables, images, labels, batches)
+                jax.block_until_ready(loss_d)
             loss_all.append(float(loss_d) / n)
             fooling_all.append(float(fooling) / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
@@ -418,6 +421,7 @@ class ADIL(Attack):
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
 
+        self.timing = timer.summary()
         self._save(state.d, state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
