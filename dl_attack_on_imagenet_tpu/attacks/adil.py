@@ -156,6 +156,14 @@ class ADIL(Attack):
             self._save(d, v, history)
             return
         if self.method == "alter":
+            if self.checkpoint_every:
+                import warnings
+
+                warnings.warn(
+                    "checkpoint_every is not yet supported by method='alter'; "
+                    "training will not be resumable",
+                    stacklevel=2,
+                )
             self._learn_alter(data_train, data_val)
         elif self._should_stream(data_train):
             self._learn_gd_streamed(data_train, data_val)
@@ -245,11 +253,7 @@ class ADIL(Attack):
         )
 
     def _clear_train_state(self):
-        import os
-
-        path = self.cache.path("ImageNet", **self._train_ckpt_key())
-        if os.path.exists(path):
-            os.remove(path)
+        self.cache.remove("ImageNet", **self._train_ckpt_key())
 
     def _learn_gd(self, data_train, data_val):
         """Joint projected-AdamW over (D, v). Reference: adil.py:114-210."""

@@ -230,6 +230,20 @@ def adil_fb(
     return params["d"], params["v"], track
 
 
+def _pad_for_batching(images, targets, bsz):
+    """Pad rows to a multiple of bsz; returns (images, targets, weights,
+    n_batches) with 0-weights on padded rows (reference's get_slices covers
+    the ragged tail, utils.py:153-156)."""
+    n = images.shape[0]
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
+    weights = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
+    if pad:
+        images = jnp.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
+        targets = jnp.pad(targets, (0, pad))
+    return images, targets, weights, n_batches
+
+
 # ---------------------------------------------------------------------------
 # Stochastic solvers (sadil :200-312, sadil_updated :315-501)
 # ---------------------------------------------------------------------------
@@ -256,27 +270,15 @@ def sadil(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    # Cover the ragged tail (the reference's get_slices includes the short
-    # final slice, utils.py:153-156) by padding rows and masking them out.
-    n_batches = -(-n // bsz)
-    pad = n_batches * bsz - n
-    weights = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
-    if pad:
-        images = jnp.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
-        targets = jnp.pad(targets, (0, pad))
+    images, targets, weights, n_batches = _pad_for_batching(images, targets, bsz)
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
     )
-    v = jnp.zeros((n + pad, cfg.n_atoms))
+    v = jnp.zeros((images.shape[0], cfg.n_atoms))
 
     def batch_smooth(d_, v_rows, x, t, w):
-        dv = dict_apply(v_rows, d_)
-        logits = apply_fn(variables, x + dv).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
-        sq = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
-        return cfg.coeff * jnp.sum(ce * w) + 0.5 * cfg.lambda_l2 * jnp.sum(sq * w)
+        return _smooth_loss(apply_fn, variables, d_, v_rows, x, t, cfg, w)
 
     @jax.jit
     def epoch(d, v):
@@ -339,29 +341,18 @@ def sadil_updated(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    # Ragged tail covered via padded rows + masks (see sadil).
-    n_batches = -(-n // bsz)
-    pad = n_batches * bsz - n
-    weights = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
-    if pad:
-        images = jnp.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
-        targets = jnp.pad(targets, (0, pad))
+    images, targets, weights, n_batches = _pad_for_batching(images, targets, bsz)
     delta, beta = 0.5, 0.5
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
     )
-    v = jnp.zeros((n + pad, cfg.n_atoms))
+    v = jnp.zeros((images.shape[0], cfg.n_atoms))
     step_v = jnp.asarray(cfg.step_size)
     step_d = jnp.asarray(cfg.step_size)
 
     def batch_smooth(d_, v_rows, x, t, w):
-        dv = dict_apply(v_rows, d_)
-        logits = apply_fn(variables, x + dv).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
-        sq = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
-        return cfg.coeff * jnp.sum(ce * w) + 0.5 * cfg.lambda_l2 * jnp.sum(sq * w)
+        return _smooth_loss(apply_fn, variables, d_, v_rows, x, t, cfg, w)
 
     @jax.jit
     def epoch(d, v, step_v):

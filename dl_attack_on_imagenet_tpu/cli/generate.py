@@ -69,7 +69,8 @@ def main(args) -> dict:
         def host_batches():
             b = args.batch_size
             for s in range(0, len(images), b):
-                yield s, images[s : s + b], labels[s : s + b]
+                xb, yb = images[s : s + b], labels[s : s + b]
+                yield s, xb, yb, len(xb)
 
     else:
         from ..data.imagenet import ImageNetFolder
@@ -88,13 +89,24 @@ def main(args) -> dict:
                 labs = [folder.samples[i][1] for i in range(n)]
                 loader = HostLoader(runtime, paths, labs, b, victim.input_size)
                 for idx, x, y in loader:
+                    # Padding (-1) and failed decodes (-2) get replaced by
+                    # cycled valid rows so every batch keeps ONE jit shape
+                    # (ragged keep-counts would recompile the solver per
+                    # distinct size); metrics/outputs use only real rows.
                     keep = y >= 0
-                    yield idx * b, x[keep], y[keep]
+                    if not keep.any():
+                        continue
+                    xk, yk = x[keep], y[keep]
+                    if len(xk) < b:
+                        reps = -(-b // len(xk))
+                        xk = np.concatenate([xk] * reps)[:b]
+                        yk = np.concatenate([yk] * reps)[:b]
+                    yield idx * b, xk, yk, int(keep.sum())
                 loader.close()
             else:
                 for s in range(0, n, b):
                     sub = folder.materialize(range(s, min(s + b, n)))
-                    yield s, sub.images, sub.labels
+                    yield s, sub.images, sub.labels, len(sub)
 
     os.makedirs(args.out_dir, exist_ok=True)
     log = MetricLogger(os.path.join(args.out_dir, "report.jsonl"))
@@ -102,24 +114,25 @@ def main(args) -> dict:
     total = 0
     fooled = 0.0
     t0 = time.time()
-    for start, x, y in host_batches():
+    for start, x, y, k in host_batches():
         x = jnp.asarray(x, jnp.float32)
         tb = time.time()
         adv = attack(x, jnp.asarray(y))
         adv.block_until_ready()
         dt = time.time() - tb
-        clean_pred = victim.predict(x)
-        adv_pred = victim.predict(adv)
+        # only the first k rows are real (the rest are shape padding)
+        x_r, adv_r = x[:k], adv[:k]
+        clean_pred = victim.predict(x_r)
+        adv_pred = victim.predict(adv_r)
         batch_fool = float(jnp.sum(clean_pred != adv_pred))
-        mse = float(jnp.mean(jnp.sum((adv - x) ** 2, axis=(1, 2, 3))))
-        total += x.shape[0]
+        mse = float(jnp.mean(jnp.sum((adv_r - x_r) ** 2, axis=(1, 2, 3))))
+        total += k
         fooled += batch_fool
-        log.log(start, n=x.shape[0], fooling=batch_fool / x.shape[0],
-                mse=mse, seconds=dt)
+        log.log(start, n=k, fooling=batch_fool / k, mse=mse, seconds=dt)
         if args.save_images:
             from PIL import Image
 
-            arr = np.asarray(jnp.clip(adv, 0, 1) * 255).astype(np.uint8)
+            arr = np.asarray(jnp.clip(adv_r, 0, 1) * 255).astype(np.uint8)
             for j in range(arr.shape[0]):
                 Image.fromarray(arr[j]).save(
                     os.path.join(args.out_dir, f"adv_{start + j:06d}.png")

@@ -49,10 +49,14 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
     """Fooling/RMSE/MSE over batches, restricted to correctly-classified
     inputs (performance.py:154-177).
 
-    The kept rows are padded back to the incoming batch size before calling
-    the attack so the jitted solvers see ONE shape per loader batch size —
-    ragged keep-counts would otherwise trigger a full victim recompile per
-    distinct count (minutes each on the TPU tunnel).
+    The kept rows are padded back to the incoming batch size (by cycling the
+    kept rows) before calling the attack so the jitted solvers see ONE shape
+    per loader batch size — ragged keep-counts would otherwise trigger a
+    full victim recompile per distinct count (minutes each on the TPU
+    tunnel). Metrics use only the real rows. Caveat: an attack whose
+    dictionary is learned lazily on its first call will see the cycled
+    duplicates in that first training batch — pre-train attacks (the normal
+    reference workflow, adil.py:94-101) to avoid the slight reweighting.
     """
     num_samples = 0
     fooling = 0.0
@@ -69,8 +73,9 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
         b = x.shape[0]
         xk, yk = x[keep], y[keep]
         if k < b:
-            x_in = jnp.concatenate([xk, jnp.repeat(xk[:1], b - k, axis=0)])
-            y_in = jnp.concatenate([yk, jnp.repeat(yk[:1], b - k, axis=0)])
+            reps = -(-b // k)
+            x_in = jnp.concatenate([xk] * reps)[:b]
+            y_in = jnp.concatenate([yk] * reps)[:b]
         else:
             x_in, y_in = xk, yk
         num_samples += k

@@ -34,9 +34,11 @@ def _walk_flax_modules(params: Dict, batch_stats: Dict, path=()) -> List[Tuple[t
 
     Relies on Flax preserving submodule insertion order in the params dict
     (first-use order during ``module.init``), which matches torch
-    state_dict insertion order for architectures defined in execution order
-    — so convert on freshly-initialized variables, not on trees whose key
-    order was destroyed by other serialization.
+    state_dict insertion order for architectures defined in execution order.
+    WARNING: ``jax.tree_util.tree_map`` and some serializers SORT dict keys
+    and silently destroy this order — convert on freshly-initialized
+    variables (``create_model(...).variables``) or trees produced by this
+    module (whose copies are order-preserving), never on tree_map output.
 
     kind in {conv_kernel, dense_kernel, bias, bn_scale, bn_bias, bn_mean,
     bn_var, other}. BatchNorm modules expand into the torch emission order
@@ -165,9 +167,15 @@ def convert_torch_state_dict(state_dict, variables: Dict) -> Dict:
 
 
 def jax_tree_to_numpy(tree):
-    import jax
+    """Order-PRESERVING numpy copy of a nested dict tree.
 
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    ``jax.tree_util.tree_map`` sorts dict keys, which would destroy the
+    execution order this module's sequence alignment depends on
+    ('BasicBlock_10' sorts before 'ConvBN_0') — so the recursion is manual.
+    """
+    if isinstance(tree, dict):
+        return {k: jax_tree_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)
 
 
 def flax_to_torch_state_dict(variables: Dict) -> Dict[str, np.ndarray]:

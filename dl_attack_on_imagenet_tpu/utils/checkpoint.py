@@ -93,3 +93,13 @@ class ArtifactCache:
 
     def exists(self, prefix: str, **hyper: Any) -> bool:
         return os.path.exists(self.path(prefix, **hyper))
+
+    def remove(self, prefix: str, **hyper: Any) -> None:
+        """Delete an artifact (file or orbax checkpoint directory)."""
+        import shutil
+
+        p = self.path(prefix, **hyper)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
