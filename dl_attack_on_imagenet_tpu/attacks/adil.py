@@ -65,6 +65,7 @@ class ADIL(Attack):
         stream: Optional[bool] = None,
         checkpoint_every: Optional[int] = None,
         resume: bool = True,
+        metrics_log: Optional[str] = None,
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -93,6 +94,9 @@ class ADIL(Attack):
         self.stream = stream
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        from ..utils import MetricLogger
+
+        self.metrics = MetricLogger(metrics_log)
         self.dictionary: Optional[jax.Array] = None
         self.history: dict = {}
         self.timing: dict = {}
@@ -284,6 +288,8 @@ class ADIL(Attack):
             fooling_all.append(float(fooling) / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
                 val_fool = self._val_fooling(state.d, data_val)
+            self.metrics.log(it, loss=loss_all[-1], fooling=fooling_all[-1],
+                             val_fooling=val_fool if val_fool is not None else float("nan"))
             if self.verbose:
                 print(f"[adil gd] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
             if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
@@ -380,6 +386,8 @@ class ADIL(Attack):
             fooling_all.append(fool_sum / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
                 val_fool = self._val_fooling(state.d, data_val)
+            self.metrics.log(it, loss=loss_all[-1], fooling=fooling_all[-1],
+                             val_fooling=val_fool if val_fool is not None else float("nan"))
             if self.verbose:
                 print(f"[adil gd/stream] epoch {it} loss {loss_all[-1]:.4f} "
                       f"fooling {fooling_all[-1]:.3f} val {val_fool}")
