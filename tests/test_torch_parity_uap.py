@@ -1,0 +1,75 @@
+"""Cross-framework parity for UAP-PGD training (clipped-CE + Adam + proj)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+from dl_attack_on_imagenet_tpu.attacks.adil_core import make_batches
+from dl_attack_on_imagenet_tpu.attacks.uap_pgd import UAPPGD, make_uap_epoch_fn
+from dl_attack_on_imagenet_tpu.models import create_model
+from tests.test_torch_parity import TorchTiny
+
+EPS = 0.05
+BETA = 9.0
+LR = 0.01
+N = 8
+
+
+def test_uap_epoch_matches_torch(tmp_path):
+    victim = create_model("tiny", rng=jax.random.PRNGKey(7))
+    p = jax.tree_util.tree_map(np.asarray, victim.variables["params"])
+    tm = TorchTiny()
+    with torch.no_grad():
+        tm.conv1.weight.copy_(torch.from_numpy(p["Conv_0"]["kernel"].transpose(3, 2, 0, 1).copy()))
+        tm.conv1.bias.copy_(torch.from_numpy(p["Conv_0"]["bias"].copy()))
+        tm.conv2.weight.copy_(torch.from_numpy(p["Conv_1"]["kernel"].transpose(3, 2, 0, 1).copy()))
+        tm.conv2.bias.copy_(torch.from_numpy(p["Conv_1"]["bias"].copy()))
+        tm.fc.weight.copy_(torch.from_numpy(p["Dense_0"]["kernel"].T.copy()))
+        tm.fc.bias.copy_(torch.from_numpy(p["Dense_0"]["bias"].copy()))
+    tm.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.random((N, 32, 32, 3), dtype=np.float32)
+    y = np.asarray(victim.predict(jnp.asarray(x)))
+
+    # ---- our side: one full-batch epoch x 5 via the epoch fn -------------
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+    atk = UAPPGD(victim, steps=0, batch_size=N, beta=BETA, step_size=LR,
+                 norm="linf", eps=EPS, optimizer="adam",
+                 cache=ArtifactCache(str(tmp_path)), model_name="parity")
+    epoch_fn = make_uap_epoch_fn(victim.apply_fn, atk)
+    e = jnp.zeros((1, 32, 32, 3))
+    opt_state = atk.make_optimizer().init(e)
+    batches = jnp.arange(N)[None, :]  # one full batch, no shuffle
+    ours_losses = []
+    for _ in range(5):
+        e, opt_state, loss, fooling = epoch_fn(
+            e, opt_state, jnp.asarray(x), jnp.asarray(y), batches
+        )
+        ours_losses.append(float(loss))
+
+    # ---- torch twin ------------------------------------------------------
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(y).long()
+    et = torch.zeros((1, 3, 32, 32), requires_grad=True)
+    optim = torch.optim.Adam([et], lr=LR)
+    torch_losses = []
+    for _ in range(5):
+        optim.zero_grad()
+        logits = tm(xt + et)
+        loss = torch.clamp_min(-F.cross_entropy(logits, yt, reduction="mean"), -BETA)
+        loss.backward()
+        optim.step()
+        with torch.no_grad():
+            et.clamp_(-EPS, EPS)
+        torch_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(ours_losses, torch_losses, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(e)[0], et.detach().numpy()[0].transpose(1, 2, 0), atol=5e-5
+    )
