@@ -140,3 +140,17 @@ class TestADILRClass:
         )
         adv = atk(images[:2], labels[:2])
         assert adv.shape == (2, 32, 32, 3)
+
+
+class TestFixedDictionary:
+    def test_adil_fb_with_given_dictionary_keeps_it_frozen(self, victim, data, rng):
+        """adil(dictionary=...) learns only v (adil_regularized.py:49-56,
+        :116-118: grad_d is zeroed and d never updated)."""
+        images, labels = data
+        d0 = jax.random.normal(rng, (4, 32, 32, 3)) * 0.1
+        d, v, track = adil_fb(
+            victim.apply_fn, victim.variables, images, labels, CFG, rng,
+            dictionary=d0, niter=4,
+        )
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+        assert bool(jnp.any(v != 0))
