@@ -318,7 +318,12 @@ def supervised_ddrague(
     AdamW(lr=1e-2) on z for <= steps_inference iterations; z clamped to
     [-eps, eps] after each step; early stop when max|Δz| < tol.
 
-    Reference: adil.py:508-567 (forward_supervised_DDrague).
+    Reference: adil.py:508-567 (forward_supervised_DDrague). NOTE (faithful
+    reference property): only z is eps-clamped — the returned perturbation
+    dv = D D† z is z's projection onto span(D), which is NOT l∞-contractive,
+    so ||dv||_inf can exceed eps (observed up to ~2.5x on random
+    dictionaries; the reference likewise never re-clamps dv, adil.py:560-567).
+    Use :func:`supervised_adamw_codes` when a hard budget is required.
     """
     labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     d_pinv = dict_pinv(d)
