@@ -141,14 +141,6 @@ class ADIL(Attack):
         if self.mesh is not None:
             from ..parallel import learn_dictionary_distributed
 
-            if self.checkpoint_every:
-                import warnings
-
-                warnings.warn(
-                    "checkpoint_every is not yet supported on the mesh "
-                    "training path; training will not be resumable",
-                    stacklevel=2,
-                )
             d_init = self._load_warm_start()
             d, v, history = learn_dictionary_distributed(
                 self.victim, as_array_dataset(data_train), self.cfg, self.mesh,
@@ -156,18 +148,18 @@ class ADIL(Attack):
                 data_val=as_array_dataset(data_val) if data_val is not None else None,
                 val_every=self.val_every or 0,
                 d_init=d_init,
+                checkpoint_every=self.checkpoint_every or 0,
+                cache=self.cache,
+                ckpt_key=dict(model=self.model_name, kind="dp_train_state"),
+                resume=self.resume,
             )
             self._save(d, v, history)
             return
+        if self._is_path_dataset(data_train):
+            data_train, data_val = self._dispatch_folder(data_train, data_val)
+            if data_train is None:
+                return  # trained natively from raw JPEGs
         if self.method == "alter":
-            if self.checkpoint_every:
-                import warnings
-
-                warnings.warn(
-                    "checkpoint_every is not yet supported by method='alter'; "
-                    "training will not be resumable",
-                    stacklevel=2,
-                )
             self._learn_alter(data_train, data_val)
         elif self._should_stream(data_train):
             self._learn_gd_streamed(data_train, data_val)
@@ -184,6 +176,34 @@ class ADIL(Attack):
             return self.stream
         ds = as_array_dataset(data_train)
         return ds.images.nbytes > self.RESIDENT_BYTES_LIMIT
+
+    @staticmethod
+    def _is_path_dataset(data) -> bool:
+        """Folder-of-JPEGs datasets (ImageNetFolder-like: .samples of
+        (path, label)) train from raw files via the native loader."""
+        return hasattr(data, "samples") and not hasattr(data, "images")
+
+    def _dispatch_folder(self, folder, data_val):
+        """Route a path-backed dataset: native streaming when the C++
+        loader is available and the config allows (gd, no mesh), otherwise
+        materialize to arrays and fall through.
+
+        Returns (data_train, data_val) to continue with, or (None, None)
+        when training completed natively. Reference analog: the
+        pinned-memory multiprocess DataLoader feeding the training loop
+        (adil.py:130, :362-364).
+        """
+        from ..runtime.host_loader import get_runtime
+
+        runtime = get_runtime()
+        if data_val is not None and self._is_path_dataset(data_val):
+            data_val = data_val.materialize(runtime=runtime)
+        if runtime is not None and self.method != "alter" and self.mesh is None \
+                and self.stream is not False:
+            self._learn_gd_from_folder(folder, data_val, runtime)
+            return None, None
+        # Fallback: decode everything up front (PIL when no native runtime).
+        return folder.materialize(runtime=runtime), data_val
 
     def _load_warm_start(self):
         """Previous dictionary as initialization (adil.py:139-143)."""
@@ -403,6 +423,109 @@ class ADIL(Attack):
         if self.checkpoint_every:
             self._clear_train_state()
 
+    def _learn_gd_from_folder(self, folder, data_val, runtime):
+        """Joint projected-AdamW fed directly from raw JPEGs.
+
+        The config-4 shape (folder of files -> dictionary) without
+        pre-materializing arrays: the C++ thread-pool loader
+        (native/host_loader.cpp) decodes/resizes/crops into a ring buffer,
+        batches flow through the device-put lookahead, and per-image v rows
+        are addressed by the loader's native row indices. Same update
+        semantics as :meth:`_learn_gd`. Reference: the num_workers=4
+        pinned-memory DataLoader feeding learn_dictionary (adil.py:130,
+        :362-364).
+        """
+        import numpy as np
+
+        from ..data import prefetch_to_device
+        from ..runtime.host_loader import HostLoader
+
+        paths = [p for p, _ in folder.samples]
+        n = len(paths)
+        size = folder.image_size
+        bsz = min(self.cfg.batch_size, n)
+        key = self._loss_key()
+        state = core.init_state(
+            key, (size, size, 3), n, self.cfg, mode="gd",
+            d_init=self._load_warm_start(),
+        )
+        step_fn = jax.jit(
+            core.make_train_step(self.victim.apply_fn, self.cfg, "both"),
+            donate_argnums=(0,),
+        )
+        predict = jax.jit(
+            lambda v_, x: jnp.argmax(
+                self.victim.apply_fn(v_, x).astype(jnp.float32), -1
+            )
+        )
+
+        # One native streaming pass for clean labels (precomputed once; the
+        # documented intent-fix of the reference's per-step re-labeling,
+        # adil.py:172).
+        labels_host = np.zeros((n,), np.int64)
+        loader = HostLoader(runtime, paths, [0] * n, bsz, size, shuffle=False)
+        for _, x, labs, idxs in loader.iter_indexed():
+            valid = labs != -1  # keep decode failures out of the v rows too
+            preds = np.asarray(predict(self.victim.variables, jnp.asarray(x)))
+            ok = valid & (labs != -2)
+            labels_host[idxs[ok]] = preds[ok]
+        loader.close()
+
+        loss_all, fooling_all, val_fool = [], [], None
+        timer = StepTimer(warmup=1)
+
+        start_epoch = 0
+        if self.resume and self.checkpoint_every:
+            restored = self._restore_train_state(state)
+            if restored is not None:
+                state, key, loss_all, fooling_all = restored
+                start_epoch = int(state.epoch)
+                if self.verbose:
+                    print(f"[adil gd/native] resumed at epoch {start_epoch}")
+
+        for it in range(start_epoch, self.cfg.steps):
+            loader = HostLoader(
+                runtime, paths, labels_host.tolist(), bsz, size,
+                shuffle=True, seed=self.seed + 7919 * (it + 1),
+            )
+
+            def host_batches():
+                for _, x, labs, idxs in loader.iter_indexed():
+                    mask = ((labs != -1) & (labs != -2)).astype(np.float32)
+                    idx = np.maximum(idxs, 0).astype(np.int32)
+                    yield x, np.maximum(labs, 0), idx, mask
+
+            loss_sum, fool_sum = 0.0, 0.0
+            with timer.step(), annotate("adil/epoch_native"):
+                for x, lab, idx, mask in prefetch_to_device(host_batches(), size=2):
+                    state, loss, fooling = step_fn(
+                        state, self.victim.variables, x, lab, idx, mask
+                    )
+                    loss_sum += float(loss)
+                    fool_sum += float(fooling)
+            loader.close()
+            state = state.replace(epoch=state.epoch + 1)
+            loss_all.append(loss_sum / n)
+            fooling_all.append(fool_sum / n)
+            if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
+                val_fool = self._val_fooling(state.d, data_val)
+            self.metrics.log(it, loss=loss_all[-1], fooling=fooling_all[-1],
+                             val_fooling=val_fool if val_fool is not None else float("nan"))
+            if self.verbose:
+                print(f"[adil gd/native] epoch {it} loss {loss_all[-1]:.4f} "
+                      f"fooling {fooling_all[-1]:.3f} val {val_fool}")
+            if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
+                self._save_train_state(state, key, loss_all, fooling_all)
+            if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
+                break
+
+        self.timing = timer.summary()
+        self._save(state.d, state.v, {
+            "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
+        })
+        if self.checkpoint_every:
+            self._clear_train_state()
+
     def _learn_alter(self, data_train, data_val):
         """Alternating v-phase / d-phase. Reference: adil.py:212-332."""
         ds, images, n, key, state = self._prepare(data_train, "alter")
@@ -412,8 +535,20 @@ class ADIL(Attack):
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
+        # state.epoch counts OUTER alternation rounds on this path (each
+        # round runs 2*steps_inner epoch passes), so resume restarts at the
+        # right round boundary.
+        start_outer = 0
+        if self.resume and self.checkpoint_every:
+            restored = self._restore_train_state(state)
+            if restored is not None:
+                state, key, loss_all, fooling_all = restored
+                start_outer = int(state.epoch)
+                if self.verbose:
+                    print(f"[adil alter] resumed at round {start_outer}")
+
         outer = max(self.cfg.steps // self.cfg.steps_inner, 1)
-        for it in range(outer):
+        for it in range(start_outer, outer):
             with timer.step():
                 for _ in range(self.cfg.steps_inner):
                     key, sub = jax.random.split(key)
@@ -424,12 +559,15 @@ class ADIL(Attack):
                     batches = core.make_batches(sub, n, self.cfg.batch_size)
                     state, loss_d, fooling = epoch_d(state, self.victim.variables, images, labels, batches)
                 jax.block_until_ready(loss_d)
+            state = state.replace(epoch=jnp.asarray(it + 1, jnp.int32))
             loss_all.append(float(loss_d) / n)
             fooling_all.append(float(fooling) / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
                 val_fool = self._val_fooling(state.d, data_val)
             if self.verbose:
                 print(f"[adil alter] iter {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
+            if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
+                self._save_train_state(state, key, loss_all, fooling_all)
             if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
                 break
 
@@ -437,6 +575,8 @@ class ADIL(Attack):
         self._save(state.d, state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
+        if self.checkpoint_every:
+            self._clear_train_state()
 
     def _save(self, d, v, history):
         payload = {"d": np.asarray(d), "v": np.asarray(v)}

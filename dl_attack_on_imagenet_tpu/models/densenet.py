@@ -51,11 +51,13 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2), padding="SAME",
+        x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)),  # torch conv0 pad=3
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):

@@ -44,7 +44,7 @@ class ConvBN(nn.Module):
     features: int
     kernel: tuple = (3, 3)
     strides: tuple = (1, 1)
-    padding: Any = "SAME"
+    padding: Any = "TORCH"
     relu: bool = True
     use_bias: bool = False
     dtype: Any = jnp.float32
@@ -53,11 +53,19 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # "TORCH" = torchvision's symmetric k//2 padding. Identical to XLA
+        # "SAME" for stride-1 odd kernels, but NOT for strided convs (SAME
+        # pads asymmetrically, e.g. (2,3) for a 7x7/s2 at 224 where torch
+        # pads (3,3)) — pretrained-weight parity requires torch semantics
+        # (verified against real torch forwards in tests/test_torch_forward_parity.py).
+        padding = self.padding
+        if padding == "TORCH":
+            padding = tuple((k // 2, k // 2) for k in self.kernel)
         x = nn.Conv(
             self.features,
             self.kernel,
             strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             use_bias=self.use_bias,
             feature_group_count=self.groups,
             dtype=self.dtype,

@@ -18,8 +18,9 @@ from .layers import ConvBN, global_avg_pool, max_pool
 class S2DStem(nn.Module):
     """Space-to-depth stem: the 7x7/s2 conv computed in a 2x2-blocked domain.
 
-    Mathematically identical to ``Conv(64, (7,7), (2,2), SAME)`` with the
-    SAME parameter tensor (kernel shape (7,7,3,64)), but the convolution
+    Mathematically identical to ``Conv(64, (7,7), (2,2), pad=(3,3))`` —
+    torchvision's conv1 padding — with the SAME parameter tensor
+    (kernel shape (7,7,3,64)), but the convolution
     runs on a (112,112,12) input with a 4x4/s1 kernel — which matters for
     attacks: the gradient wrt the 3-channel 224x224 input of a 7x7/s2 conv
     is the single most expensive op of the ADiL train step (3.55 ms of a
@@ -41,22 +42,24 @@ class S2DStem(nn.Module):
         # Blocked input: channel index = (ki, kj, c).
         xb = x.reshape(n, h // 2, 2, w // 2, 2, c)
         xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
-        # Blocked kernel: tap a in the original maps to block tap
-        # q = (a-2)//2 + 1 and parity k = (a-2) % 2; slot (3, parity 1) and
-        # (parity row 1 of q=3) stay zero (7 taps -> 4x2 slots).
+        # Blocked kernel for torch padding semantics (output o reads input
+        # rows 2o + a - 3, a in 0..6, i.e. symmetric pad 3): tap a maps to
+        # block tap q = (a-1)//2 + 1 and parity k = (a-1) % 2, so the
+        # original row read is 2(o + q - pb) + k = 2o + a - 3 with block
+        # pad pb = 2. Slot (0, parity 0) stays zero (7 taps -> 4x2 slots).
         kb = jnp.zeros((4, 2, 4, 2, c, self.features), self.dtype)
         kern = kernel.astype(self.dtype)
         for a_i in range(7):
-            qi, ki = (a_i - 2) // 2 + 1, (a_i - 2) % 2
+            qi, ki = (a_i - 1) // 2 + 1, (a_i - 1) % 2
             for a_j in range(7):
-                qj, kj = (a_j - 2) // 2 + 1, (a_j - 2) % 2
+                qj, kj = (a_j - 1) // 2 + 1, (a_j - 1) % 2
                 kb = kb.at[qi, ki, qj, kj].set(kern[a_i, a_j])
         kb = kb.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
         y = jax.lax.conv_general_dilated(
             xb.astype(self.dtype),
             kb,
             window_strides=(1, 1),
-            padding=((1, 2), (1, 2)),
+            padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
@@ -111,7 +114,8 @@ class ResNet(nn.Module):
             x = S2DStem(64, dtype=self.dtype)(x)
         else:
             x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype)(x)
-        x = max_pool(x, (3, 3), (2, 2))
+        # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
+        x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, size in enumerate(self.stage_sizes):
             for j in range(size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)

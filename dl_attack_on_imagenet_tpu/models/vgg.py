@@ -23,6 +23,7 @@ class VGG(nn.Module):
     cfg: Sequence
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    hidden: int = 4096  # classifier width (torchvision: 4096)
 
     @nn.compact
     def __call__(self, x):
@@ -40,19 +41,23 @@ class VGG(nn.Module):
                 (max(x.shape[1] // 7, 1), max(x.shape[2] // 7, 1)),
                 strides=(max(x.shape[1] // 7, 1), max(x.shape[2] // 7, 1)),
             )
-        x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
+        # Flatten in torch's channel-major (C, H, W) order so torchvision
+        # classifier weights map onto Dense_0 by a pure transpose (the NHWC
+        # flatten would silently permute the 25088 input features —
+        # caught by tests/test_torch_forward_parity.py).
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def vgg11(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
-    return VGG(CFGS["vgg11"], num_classes, dtype)
+def vgg11(num_classes: int = 1000, dtype=jnp.float32, hidden: int = 4096) -> VGG:
+    return VGG(CFGS["vgg11"], num_classes, dtype, hidden)
 
 
-def vgg16(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
-    return VGG(CFGS["vgg16"], num_classes, dtype)
+def vgg16(num_classes: int = 1000, dtype=jnp.float32, hidden: int = 4096) -> VGG:
+    return VGG(CFGS["vgg16"], num_classes, dtype, hidden)
 
 
-def vgg19(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
-    return VGG(CFGS["vgg19"], num_classes, dtype)
+def vgg19(num_classes: int = 1000, dtype=jnp.float32, hidden: int = 4096) -> VGG:
+    return VGG(CFGS["vgg19"], num_classes, dtype, hidden)

@@ -149,6 +149,46 @@ def shard_rows(mesh: Mesh, arr: jax.Array, axis: str = "data") -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state, key,
+               epoch, loss_all, fooling_all):
+    """Persist the full sharded training state (gathered to host)."""
+    from flax import serialization
+
+    payload = {
+        "d": np.asarray(d),
+        "v": np.asarray(v),
+        "opt_d": jax.tree_util.tree_map(
+            np.asarray, serialization.to_state_dict(opt_d_state)
+        ),
+        "opt_v": jax.tree_util.tree_map(
+            np.asarray, serialization.to_state_dict(opt_v_state)
+        ),
+        "rng": np.asarray(key),
+        "epoch": int(epoch),
+        "loss": np.asarray(loss_all, np.float64),
+        "fooling": np.asarray(fooling_all, np.float64),
+    }
+    cache.save(payload, "ImageNet", **ckpt_key)
+
+
+def _ckpt_restore(cache, ckpt_key, opt_d_tmpl, opt_v_tmpl):
+    from flax import serialization
+
+    payload = cache.load("ImageNet", **ckpt_key)
+    if payload is None:
+        return None
+    return {
+        "d": jnp.asarray(payload["d"]),
+        "v": jnp.asarray(payload["v"]),
+        "opt_d": serialization.from_state_dict(opt_d_tmpl, payload["opt_d"]),
+        "opt_v": serialization.from_state_dict(opt_v_tmpl, payload["opt_v"]),
+        "rng": jnp.asarray(payload["rng"]),
+        "epoch": int(payload["epoch"]),
+        "loss": list(payload["loss"]),
+        "fooling": list(payload["fooling"]),
+    }
+
+
 def learn_dictionary_distributed(
     victim,
     dataset,
@@ -160,13 +200,22 @@ def learn_dictionary_distributed(
     data_val=None,
     val_every: int = 0,
     d_init=None,
+    checkpoint_every: int = 0,
+    cache=None,
+    ckpt_key: Optional[dict] = None,
+    resume: bool = True,
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Full DP dictionary learning. Returns (d, v_real_rows, history).
 
     Reference: adil.py:334-430 (learn_dictionary_distributed), with the
     rank-0 gating bug fixed per documented intent, plus warm start
-    (``d_init``) and per-epoch validation fooling — features the reference
-    only has on the serial path (adil.py:139-143, :199-205).
+    (``d_init``), per-epoch validation fooling, and step-level
+    checkpoint/resume of the sharded (d, v, optimizer) state — features the
+    reference only has on the serial path or not at all (adil.py:139-143,
+    :199-205). With ``checkpoint_every`` > 0 and a ``cache``, the full
+    training state is persisted every that-many epochs and restored on the
+    next call (kill-and-resume reproduces the uninterrupted trajectory —
+    tested in test_parallel_features.py).
     """
     images_np, _ = dataset.as_arrays()
     n = images_np.shape[0]
@@ -193,7 +242,22 @@ def learn_dictionary_distributed(
     epoch_fn = make_dp_epoch_fn(victim.apply_fn, cfg, mesh, axis)
 
     loss_all, fooling_all, val_fool = [], [], None
-    for it in range(cfg.steps):
+    start_epoch = 0
+    ckpt_key = ckpt_key or {"model": getattr(victim, "name", "model"),
+                            "kind": "dp_train_state"}
+    if checkpoint_every and cache is not None and resume:
+        restored = _ckpt_restore(cache, ckpt_key, opt_d_state, opt_v_state)
+        if restored is not None:
+            d = jax.device_put(restored["d"], NamedSharding(mesh, P(*([None] * d.ndim))))
+            v = jax.device_put(restored["v"], NamedSharding(mesh, P(axis, None)))
+            opt_d_state, opt_v_state = restored["opt_d"], restored["opt_v"]
+            key = restored["rng"]
+            start_epoch = restored["epoch"]
+            loss_all, fooling_all = restored["loss"], restored["fooling"]
+            if verbose:
+                print(f"[adil dp] resumed at epoch {start_epoch}")
+
+    for it in range(start_epoch, cfg.steps):
         key, sub = jax.random.split(key)
         batches = jnp.asarray(make_local_batches(sub, n, n_dev, cfg.batch_size))
         batches = jax.device_put(
@@ -215,8 +279,13 @@ def learn_dictionary_distributed(
         if verbose:
             print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} "
                   f"fooling {fooling_all[-1]:.3f} val {val_fool}")
+        if checkpoint_every and cache is not None and (it + 1) % checkpoint_every == 0:
+            _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state,
+                       key, it + 1, loss_all, fooling_all)
         if it > 1 and abs(loss_all[-1] - loss_all[-2]) < cfg.tol:
             break
 
+    if checkpoint_every and cache is not None:
+        cache.remove("ImageNet", **ckpt_key)
     history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
     return jnp.asarray(d), jnp.asarray(v)[:n], history

@@ -58,6 +58,11 @@ class NativeRuntime:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.adil_loader_next_indexed.restype = ctypes.c_int64
+        lib.adil_loader_next_indexed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.adil_loader_num_batches.restype = ctypes.c_int64
         lib.adil_loader_num_batches.argtypes = [ctypes.c_void_p]
         lib.adil_loader_destroy.restype = None
@@ -125,6 +130,26 @@ class HostLoader:
             if idx < 0:
                 return
             yield int(idx), images, labels
+
+    def iter_indexed(self):
+        """Like ``__iter__`` but also yields the ORIGINAL dataset row id of
+        each slot (-1 = padding) — what training needs to address per-image
+        state (the ADiL code matrix ``v``) under native shuffling; the
+        indexed-subset analog of the reference's Subset_I
+        (imagenet_loading.py:8-18)."""
+        for _ in range(self.num_batches):
+            images = np.empty((self._batch, self._size, self._size, 3), np.float32)
+            labels = np.empty((self._batch,), np.int64)
+            indices = np.empty((self._batch,), np.int64)
+            idx = self._rt._lib.adil_loader_next_indexed(
+                self._handle,
+                images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if idx < 0:
+                return
+            yield int(idx), images, labels, indices
 
     def close(self):
         if self._handle:

@@ -173,6 +173,7 @@ struct Batch {
   int64_t index;
   std::vector<float> images;
   std::vector<int64_t> labels;
+  std::vector<int64_t> indices;  // original dataset row ids (-1 = padding)
 };
 
 struct Loader {
@@ -205,10 +206,12 @@ struct Loader {
       batch.index = b;
       batch.images.assign(static_cast<size_t>(this->batch) * img_elems, 0.0f);
       batch.labels.assign(this->batch, -1);
+      batch.indices.assign(this->batch, -1);
       for (int i = 0; i < this->batch; ++i) {
         int64_t pos = b * this->batch + i;
         if (pos >= static_cast<int64_t>(order.size())) break;
         int64_t idx = order[pos];
+        batch.indices[i] = idx;
         // Failed decodes (corrupt file, non-JPEG format) get label -2 so
         // consumers can distinguish them from padding (-1) and filter them
         // instead of silently training/serving on black images.
@@ -317,8 +320,13 @@ int64_t adil_loader_num_batches(void* handle) {
 }
 
 // Pops the next batch (blocking). Returns its index, or -1 when exhausted.
-// out_labels entries for padded slots are -1.
-int64_t adil_loader_next(void* handle, float* out_images, int64_t* out_labels) {
+// out_labels entries for padded slots are -1 (failed decodes -2);
+// out_indices (when non-null) receives the original dataset row id of each
+// slot (-1 = padding) — required by training consumers that address
+// per-image state (the ADiL code matrix v) by global row
+// (imagenet_loading.py:8-18's Subset_I.indexed analog, done natively).
+int64_t adil_loader_next_indexed(void* handle, float* out_images,
+                                 int64_t* out_labels, int64_t* out_indices) {
   Loader* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lock(l->mu);
   l->cv_pop.wait(lock, [&] {
@@ -334,7 +342,16 @@ int64_t adil_loader_next(void* handle, float* out_images, int64_t* out_labels) {
   lock.unlock();
   std::memcpy(out_images, b.images.data(), b.images.size() * sizeof(float));
   std::memcpy(out_labels, b.labels.data(), b.labels.size() * sizeof(int64_t));
+  if (out_indices) {
+    std::memcpy(out_indices, b.indices.data(),
+                b.indices.size() * sizeof(int64_t));
+  }
   return b.index;
+}
+
+int64_t adil_loader_next(void* handle, float* out_images,
+                         int64_t* out_labels) {
+  return adil_loader_next_indexed(handle, out_images, out_labels, nullptr);
 }
 
 void adil_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -76,6 +76,85 @@ def test_resume_disabled_restarts(victim, dataset, tmp_path):
     assert len(atk.history["loss"]) == 3
 
 
+def test_alter_resume_matches_uninterrupted(victim, dataset, tmp_path):
+    """Kill-and-resume on method='alter' reproduces the straight-through run
+    (round-1 gap: alter dropped checkpoint_every with a warning)."""
+    def run(cache, bomb_at=None, **kw):
+        atk = ADIL(victim, steps=4, steps_in=1, n_atoms=4, batch_size=8,
+                   method="alter", cache=cache, model_name="alt",
+                   checkpoint_every=1, seed=0, val_every=1, **kw)
+        if bomb_at is not None:
+            calls = {"n": 0}
+
+            def bomb(d, data_val):
+                calls["n"] += 1
+                if calls["n"] == bomb_at:
+                    raise Boom()
+                return 0.0
+
+            atk._val_fooling = bomb
+        return atk
+
+    val = ArrayDataset(dataset.images[:8], dataset.labels[:8])
+
+    straight = run(ArtifactCache(str(tmp_path / "a")))
+    straight.learn_dictionary(dataset, None)
+    d_ref = np.asarray(straight.dictionary)
+
+    cache_b = ArtifactCache(str(tmp_path / "b"))
+    crashy = run(cache_b, bomb_at=2)
+    with pytest.raises(Boom):
+        crashy.learn_dictionary(dataset, val)
+    assert cache_b.exists("ImageNet", model="alt", kind="train_state")
+
+    resumed = run(cache_b)
+    resumed.learn_dictionary(dataset, None)
+    assert len(resumed.history["loss"]) == 4
+    assert not cache_b.exists("ImageNet", model="alt", kind="train_state")
+    np.testing.assert_allclose(np.asarray(resumed.dictionary), d_ref, atol=1e-6)
+
+
+def test_mesh_resume_matches_uninterrupted(victim, dataset, tmp_path, devices, monkeypatch):
+    """Kill-and-resume of the sharded (d, v, opt) state on the 8-device mesh
+    (round-1 gap: the mesh path dropped checkpoint_every with a warning)."""
+    from dl_attack_on_imagenet_tpu.parallel import adil_dp, data_mesh
+
+    mesh = data_mesh(8)
+
+    def run(cache, **kw):
+        return ADIL(victim, steps=4, n_atoms=4, batch_size=16, mesh=mesh,
+                    cache=cache, model_name="mdp", checkpoint_every=1,
+                    seed=0, val_every=None, **kw)
+
+    straight = run(ArtifactCache(str(tmp_path / "a")))
+    straight.learn_dictionary(dataset, None)
+    d_ref = np.asarray(straight.dictionary)
+    assert len(straight.history["loss"]) == 4
+
+    # Simulated kill: crash immediately after the 2nd checkpoint write.
+    real_save = adil_dp._ckpt_save
+    calls = {"n": 0}
+
+    def crashing_save(*args, **kwargs):
+        real_save(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+
+    cache_b = ArtifactCache(str(tmp_path / "b"))
+    monkeypatch.setattr(adil_dp, "_ckpt_save", crashing_save)
+    with pytest.raises(Boom):
+        run(cache_b).learn_dictionary(dataset, None)
+    monkeypatch.setattr(adil_dp, "_ckpt_save", real_save)
+    assert cache_b.exists("ImageNet", model="mdp", kind="dp_train_state")
+
+    resumed = run(cache_b)
+    resumed.learn_dictionary(dataset, None)
+    assert len(resumed.history["loss"]) == 4
+    assert not cache_b.exists("ImageNet", model="mdp", kind="dp_train_state")
+    np.testing.assert_allclose(np.asarray(resumed.dictionary), d_ref, atol=1e-6)
+
+
 def test_state_roundtrip_preserves_optimizer(victim, dataset, tmp_path):
     from dl_attack_on_imagenet_tpu.attacks import adil_core as core
 

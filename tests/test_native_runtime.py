@@ -107,3 +107,66 @@ def test_materialize_with_runtime(jpeg_tree, tmp_path):
     assert arr.images.shape == (12, 32, 32, 3)
     arr_pil = ds.materialize()
     assert np.mean(np.abs(arr.images - arr_pil.images)) < 0.03
+
+
+class TestIndexedLoader:
+    def test_iter_indexed_covers_every_row_once(self, jpeg_tree):
+        paths, labels = jpeg_tree
+        loader = HostLoader(runtime, paths, labels, batch_size=5,
+                            image_size=32, shuffle=True, seed=3)
+        seen = []
+        for _, imgs, labs, idxs in loader.iter_indexed():
+            valid = idxs >= 0
+            seen.extend(idxs[valid].tolist())
+            # label/index pairing survives the shuffle
+            for l, i in zip(labs[valid], idxs[valid]):
+                assert l == labels[i]
+        loader.close()
+        assert sorted(seen) == list(range(len(paths)))
+
+    def test_indexed_images_match_direct_decode(self, jpeg_tree):
+        paths, labels = jpeg_tree
+        loader = HostLoader(runtime, paths, labels, batch_size=4,
+                            image_size=32, shuffle=True, seed=9)
+        for _, imgs, labs, idxs in loader.iter_indexed():
+            for slot, i in enumerate(idxs):
+                if i < 0:
+                    continue
+                want = runtime.decode_batch([paths[i]], size=32)[0]
+                np.testing.assert_allclose(imgs[slot], want, atol=1e-6)
+        loader.close()
+
+
+def test_adil_trains_from_raw_jpeg_folder(jpeg_tree, tmp_path):
+    """Config-4 shape: folder of JPEGs -> dictionary, no pre-materialized
+    arrays (VERDICT round 1, item #5; reference adil.py:130, :362-364)."""
+    import os
+    import shutil
+
+    import jax
+
+    from dl_attack_on_imagenet_tpu.attacks import ADIL
+    from dl_attack_on_imagenet_tpu.data.imagenet import ImageNetFolder
+    from dl_attack_on_imagenet_tpu.models import create_model
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+    paths, labels = jpeg_tree
+    root = tmp_path / "ds"
+    for p, l in zip(paths, labels):
+        d = root / f"n{l:08d}"
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(p, d / os.path.basename(p))
+    folder = ImageNetFolder(str(root), image_size=32)
+    assert len(folder) == 12
+
+    victim = create_model("tiny", rng=jax.random.PRNGKey(0))
+    cache = ArtifactCache(str(tmp_path / "cache"))
+    atk = ADIL(victim, steps=2, n_atoms=4, batch_size=8, cache=cache,
+               model_name="native", seed=0, val_every=None)
+    atk.learn_dictionary(folder, None)
+
+    assert len(atk.history["loss"]) == 2
+    assert all(np.isfinite(atk.history["loss"]))
+    assert np.asarray(atk.dictionary).shape == (4, 32, 32, 3)
+    payload = cache.load("ImageNet", model="native")
+    assert payload["v"].shape == (12, 4)
