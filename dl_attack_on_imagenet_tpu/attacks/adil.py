@@ -134,6 +134,13 @@ class ADIL(Attack):
 
     # -- training ---------------------------------------------------------
 
+    @property
+    def is_trained(self) -> bool:
+        """Whether forward() would skip its lazy learn (adil.py:438-445)."""
+        return self.dictionary is not None or self.cache.exists(
+            "ImageNet", model=self.model_name
+        )
+
     def _loss_key(self):
         return jax.random.PRNGKey(self.seed)
 

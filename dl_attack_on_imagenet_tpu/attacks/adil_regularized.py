@@ -619,6 +619,14 @@ class ADILR(Attack):
 
     # -- dictionary learning ---------------------------------------------
 
+    @property
+    def is_trained(self) -> bool:
+        """Whether forward() would skip its lazy learn
+        (adil_regularized.py:1009-1016)."""
+        return self.dictionary is not None or self.cache.exists(
+            "ADILR", **self._key
+        )
+
     def learn_dictionary(self, data_train):
         """Dispatch on version: deterministic -> adil_fb; stochastic ->
         sadil_updated (reference commented-out learn_dictionary,

@@ -53,10 +53,10 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
     kept rows) before calling the attack so the jitted solvers see ONE shape
     per loader batch size — ragged keep-counts would otherwise trigger a
     full victim recompile per distinct count (minutes each on the TPU
-    tunnel). Metrics use only the real rows. Caveat: an attack whose
-    dictionary is learned lazily on its first call will see the cycled
-    duplicates in that first training batch — pre-train attacks (the normal
-    reference workflow, adil.py:94-101) to avoid the slight reweighting.
+    tunnel). Metrics use only the real rows. An attack whose dictionary
+    would be learned lazily on its first call is pre-trained here on the
+    REAL kept rows before the padded call, so cycled duplicates never
+    enter training (matching the reference workflow, adil.py:94-101).
     """
     num_samples = 0
     fooling = 0.0
@@ -73,6 +73,13 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
         b = x.shape[0]
         xk, yk = x[keep], y[keep]
         if k < b:
+            if getattr(attack, "is_trained", True) is False and hasattr(
+                attack, "learn_dictionary"
+            ):
+                try:
+                    attack.learn_dictionary((np.asarray(xk), np.asarray(yk)), None)
+                except TypeError:  # ADILR signature: (data_train) only
+                    attack.learn_dictionary((np.asarray(xk), np.asarray(yk)))
             reps = -(-b // k)
             x_in = jnp.concatenate([xk] * reps)[:b]
             y_in = jnp.concatenate([yk] * reps)[:b]

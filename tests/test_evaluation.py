@@ -128,3 +128,30 @@ class TestHarness:
             {"none": []}, {"self": victim}, [(dataset.images[:2], dataset.labels[:2])]
         )
         assert np.isnan(out["none"]["self"]["fooling_rate"])
+
+
+class TestLazyTrainUnderPadding:
+    def test_lazy_attack_trains_on_real_rows_only(self, victim, tmp_path):
+        """performance() pads kept rows by cycling for shape stability, but a
+        lazily-trained dictionary attack must train on the k REAL rows, not
+        the cycled duplicates (VERDICT r1 weak #6)."""
+        from dl_attack_on_imagenet_tpu.attacks import ADIL
+        from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+        key = jax.random.PRNGKey(5)
+        x = jax.random.uniform(key, (8, 32, 32, 3))
+        clean = victim.predict(x)
+        # Mislabel 3 of 8 rows so keep-count k=5 < b=8 forces padding.
+        y = np.asarray(clean).copy()
+        y[:3] = (y[:3] + 1) % int(victim.num_classes)
+
+        atk = ADIL(victim, steps=2, n_atoms=4, batch_size=8,
+                   cache=ArtifactCache(str(tmp_path)), model_name="lazy",
+                   seed=0, val_every=None)
+        assert atk.is_trained is False
+        out = ev.performance(atk, victim, [(np.asarray(x), y)])
+        assert atk.is_trained is True
+        assert out["num_samples"] == 5
+        # v has exactly k rows: training saw the 5 kept images once each.
+        payload = atk.cache.load("ImageNet", model="lazy")
+        assert payload["v"].shape[0] == 5
