@@ -11,7 +11,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import global_avg_pool
+from .layers import global_avg_pool, max_pool
 
 
 class DenseLayer(nn.Module):
@@ -57,7 +57,7 @@ class DenseNet(nn.Module):
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
         features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):

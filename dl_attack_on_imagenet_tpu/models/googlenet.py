@@ -33,7 +33,7 @@ class InceptionBlock(nn.Module):
         # torchvision's googlenet actually uses a 3x3 here (a known quirk of
         # its port); we keep 3x3 for weight-compatibility.
         b3 = ConvBN(self.c5, (3, 3), dtype=self.dtype)(b3)
-        b4 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b4 = max_pool(x, (3, 3), (1, 1), padding="SAME")
         b4 = ConvBN(self.pool_proj, (1, 1), dtype=self.dtype)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 

@@ -14,7 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN, global_avg_pool
+from .layers import ConvBN, global_avg_pool, max_pool
 
 
 class InceptionA(nn.Module):
@@ -43,7 +43,7 @@ class InceptionB(nn.Module):
         b2 = ConvBN(64, (1, 1), dtype=self.dtype)(x)
         b2 = ConvBN(96, (3, 3), dtype=self.dtype)(b2)
         b2 = ConvBN(96, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
-        b3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
 
@@ -79,7 +79,7 @@ class InceptionD(nn.Module):
         b2 = ConvBN(192, (1, 7), dtype=self.dtype)(b2)
         b2 = ConvBN(192, (7, 1), dtype=self.dtype)(b2)
         b2 = ConvBN(192, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
-        b3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
 
@@ -112,10 +112,10 @@ class InceptionV3(nn.Module):
         x = ConvBN(32, (3, 3), (2, 2), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
         x = ConvBN(32, (3, 3), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
         x = ConvBN(64, (3, 3), bn_eps=1e-3, dtype=self.dtype)(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = max_pool(x, (3, 3), (2, 2), padding="VALID")
         x = ConvBN(80, (1, 1), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
         x = ConvBN(192, (3, 3), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = max_pool(x, (3, 3), (2, 2), padding="VALID")
         x = InceptionA(32, dtype=self.dtype)(x)
         x = InceptionA(64, dtype=self.dtype)(x)
         x = InceptionA(64, dtype=self.dtype)(x)

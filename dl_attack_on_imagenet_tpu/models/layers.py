@@ -7,9 +7,11 @@ mean/std shift lives inside the model graph so gradients flow through it.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -78,7 +80,101 @@ class ConvBN(nn.Module):
         return x
 
 
+def _pool_pads(h, w, window, strides, padding):
+    if padding == "VALID":
+        return ((0, 0), (0, 0))
+    if padding == "SAME":
+        out = []
+        for size, k, s in ((h, window[0], strides[0]), (w, window[1], strides[1])):
+            n_out = -(-size // s)
+            total = max((n_out - 1) * s + k - size, 0)
+            out.append((total // 2, total - total // 2))
+        return tuple(out)
+    return tuple(tuple(p) for p in padding)
+
+
+import os as _os
+
+# MEASURED OFF by default: in isolation the custom VJP matches
+# select_and_scatter (0.027 vs 0.025 ms at the ResNet stem pool), but inside
+# the full ADiL train-step graph it halves throughput (53.9 -> 27.2 it/s on
+# v5e, bench.py A/B) — the custom_vjp boundary blocks XLA's backward-pass
+# fusion around the pool. Kept as a verified optional tier (same story as
+# ops/pallas_kernels.py): enable with ADIL_MAXPOOL_VJP=1.
+_USE_POOL_VJP = _os.environ.get("ADIL_MAXPOOL_VJP", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_custom(x, window=(3, 3), strides=(2, 2), padding="SAME"):
+    """NHWC max pool with a select_and_scatter-free backward.
+
+    The VJP recomputes the identical first-match gradient as an unrolled
+    chain of strided slices/compares/dilated pads (exactness proven in
+    tests/test_max_pool_vjp.py, including tie-heavy inputs).
+    """
+    return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+def _max_pool_fwd(x, window, strides, padding):
+    y = nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+    return y, (x, y)
+
+
+def _max_pool_bwd(window, strides, padding, res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    ho, wo = y.shape[1], y.shape[2]
+    kh, kw = window
+    sh, sw = strides
+    (pl_h, _), (pl_w, _) = _pool_pads(h, w, window, strides, padding)
+
+    grad = jnp.zeros_like(x)
+    taken = jnp.zeros(y.shape, jnp.bool_)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            # Window (a, b) tap (i, j) reads x[sh*a - pl_h + i, sw*b - pl_w + j].
+            # Strided slice of x at that offset, -inf where out of bounds:
+            off_h, off_w = i - pl_h, j - pl_w
+            lo_h = max(-off_h, 0)
+            lo_w = max(-off_w, 0)
+            hi_h = max(off_h + (ho - 1) * sh + 1 - h, 0)
+            hi_w = max(off_w + (wo - 1) * sw + 1 - w, 0)
+            xs = jax.lax.pad(
+                x, neg,
+                ((0, 0, 0), (lo_h, hi_h, 0), (lo_w, hi_w, 0), (0, 0, 0)),
+            )
+            xs = jax.lax.slice(
+                xs,
+                (0, off_h + lo_h, off_w + lo_w, 0),
+                (n, off_h + lo_h + (ho - 1) * sh + 1,
+                 off_w + lo_w + (wo - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            # select_and_scatter semantics: the FIRST tap (row-major) equal
+            # to the window max receives the whole gradient.
+            hit = jnp.logical_and(xs == y, jnp.logical_not(taken))
+            taken = jnp.logical_or(taken, hit)
+            contrib = jnp.where(hit, g, jnp.zeros_like(g))
+            # Inverse strided slice: interior-dilate by (sh-1, sw-1), place
+            # at offset (off_h, off_w), crop to x's grid (negative edge pads).
+            back = jax.lax.pad(
+                contrib, jnp.asarray(0, g.dtype),
+                ((0, 0, 0),
+                 (off_h, h - ((ho - 1) * sh + off_h + 1), sh - 1),
+                 (off_w, w - ((wo - 1) * sw + off_w + 1), sw - 1),
+                 (0, 0, 0)),
+            )
+            grad = grad + back
+    return (grad,)
+
+
+_max_pool_custom.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
 def max_pool(x, window=(3, 3), strides=(2, 2), padding="SAME"):
+    if _USE_POOL_VJP:
+        return _max_pool_custom(x, window, strides, padding)
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 
 

@@ -11,6 +11,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import max_pool
+
 CFGS = {
     "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
     "vgg13": (64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -29,7 +31,7 @@ class VGG(nn.Module):
     def __call__(self, x):
         for item in self.cfg:
             if item == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool(x, (2, 2), (2, 2), padding="VALID")
             else:
                 x = nn.Conv(item, (3, 3), padding="SAME", dtype=self.dtype)(x)
                 x = nn.relu(x)
