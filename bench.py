@@ -52,8 +52,12 @@ def main():
     # (logits and input-gradients equal to 2e-4, tests/test_s2d_stem.py) but
     # the attack's stem input-gradient maps ~2x better onto the MXU
     # (21.6 -> 19.9 ms/step measured; see BENCHMARKS.md).
+    # fold_bn: frozen eval-mode BatchNorms absorbed into conv kernels+biases
+    # (exact, tests/test_fold_bn.py) — removes an elementwise pass per conv
+    # (53.2 -> 55.4 it/s measured A/B).
     victim = create_model(
-        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, stem_s2d=True
+        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        stem_s2d=True, fold_bn=True,
     )
 
     key = jax.random.PRNGKey(1)

@@ -1,0 +1,194 @@
+"""On-chip timings for EVERY reference attack class (VERDICT r1 item #7).
+
+Round 1 benchmarked only ADiL + FGSM/PGD; this measures the ADILR solvers
+(the heaviest reference code, adil_regularized.py:31-501), UAP-PGD,
+FastUAP/DeepFoolCosinus, DeepFool, and the three ADiL inference modes, all
+against the headline bf16 ResNet-50 victim on one v5e chip. Results go to
+BENCHMARKS.md.
+
+    python benchmarks/attack_family_bench.py          # runs everything
+    python benchmarks/attack_family_bench.py adilr_fb uap_epoch   # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+SIZE = 224
+
+
+def timed(fn, *args, warmup=1, iters=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(only=()):
+    from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+    from dl_attack_on_imagenet_tpu.attacks import adil_regularized as reg
+    from dl_attack_on_imagenet_tpu.attacks.adil_core import AdilConfig
+    from dl_attack_on_imagenet_tpu.attacks.adil_regularized import RegularizedConfig
+    from dl_attack_on_imagenet_tpu.attacks.deepfool import deepfool_batch
+    from dl_attack_on_imagenet_tpu.attacks.fast_uap import deepfool_cosinus_batch
+    from dl_attack_on_imagenet_tpu.attacks.uap_pgd import UAPPGD, make_uap_epoch_fn
+    from dl_attack_on_imagenet_tpu.models import create_model
+
+    victim = create_model(
+        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, stem_s2d=True
+    )
+    apply_fn, variables = victim.apply_fn, victim.variables
+    key = jax.random.PRNGKey(1)
+    x16 = jax.random.uniform(key, (16, SIZE, SIZE, 3))
+    x64 = jax.random.uniform(key, (64, SIZE, SIZE, 3))
+    labels16 = core.predict_labels(apply_fn, variables, x16)
+    labels64 = core.predict_labels(apply_fn, variables, x64)
+
+    results = {}
+
+    def record(name, seconds, unit, note):
+        results[name] = {"value": round(seconds, 4), "unit": unit, "note": note}
+        print(json.dumps({"bench": name, **results[name]}), flush=True)
+
+    want = lambda n: not only or n in only
+
+    # --- ADILR deterministic: full-batch FB splitting w/ Bonettini search
+    rcfg = RegularizedConfig(n_atoms=10, batch_size=16, steps=100)
+    targets16 = reg._targets(apply_fn, variables, x16, labels16, rcfg.targeted)
+    if want("adilr_fb"):
+        fb = jax.jit(
+            lambda img, tgt, k: reg.adil_fb(apply_fn, variables, img, tgt, rcfg, k, niter=3)[0]
+        )
+        dt = timed(fb, x16, targets16, key, iters=2)
+        record("adilr_fb_iter", dt / 3, "s/FB-iter (b16, K=10)",
+               "adil_regularized.py:31-197; each iter = 2 line searches")
+
+    # --- ADILR stochastic: sadil_updated epochs (host-driven loop with
+    # jitted per-batch solvers — cannot be wrapped in one jit: it reads
+    # losses back for its stopping rule, adil_regularized.py:496-497)
+    if want("adilr_sadil"):
+        rcfg_b = RegularizedConfig(n_atoms=10, batch_size=16, steps=100)
+
+        def sd():
+            d, v, losses = reg.sadil_updated(
+                apply_fn, variables, x16, targets16, rcfg_b, key, nepochs=2
+            )
+            return d
+
+        dt = timed(sd, iters=2)
+        record("adilr_sadil_updated_epoch", dt / 2, "s/epoch (n16, b16)",
+               "adil_regularized.py:315-501")
+
+    # --- ADILR supervised inference: learn_coding_vectors
+    if want("adilr_codes"):
+        d10 = jax.random.normal(jax.random.PRNGKey(2), (10, SIZE, SIZE, 3)) * 0.01
+        lcv = jax.jit(
+            lambda d, img, tgt: reg.learn_coding_vectors(
+                apply_fn, variables, d, img, tgt, rcfg, niter=30
+            )
+        )
+        dt = timed(lcv, d10, x16, targets16)
+        record("adilr_learn_coding_vectors", dt, "s/batch (b16, 30 iters)",
+               "adil_regularized.py:508-628: prox-grad + 10-halving search")
+
+    # --- UAP-PGD epoch (serial path, resident data)
+    if want("uap_epoch"):
+        uap = UAPPGD(victim, steps=1, batch_size=64, eps=0.1, norm="l2")
+        epoch_fn = make_uap_epoch_fn(apply_fn, uap, None)
+        n = 256
+        xN = jax.random.uniform(key, (n, SIZE, SIZE, 3))
+        labN = core.predict_labels(apply_fn, variables, xN)
+        e0 = jnp.zeros((1, SIZE, SIZE, 3))
+        opt0 = uap.make_optimizer().init(e0)
+        batches = core.make_batches(jax.random.PRNGKey(3), n, 64)
+        dt = timed(lambda: epoch_fn(e0, opt0, xN, labN, batches)[0])
+        record("uappgd_epoch_n256_b64", dt, "s/epoch (4 batches)",
+               f"uappgd.py:70-107; {n/dt:.0f} img/s")
+
+    # --- DeepFool (batched lockstep)
+    if want("deepfool"):
+        df = jax.jit(
+            lambda img: deepfool_batch(apply_fn, variables, img, num_classes=10, max_iter=10)[0]
+        )
+        dt = timed(df, x16)
+        record("deepfool_b16_maxiter10", dt, "s/batch",
+               f"deepfool.py:9-69; {16/dt:.1f} img/s (10 classes x jacrev)")
+
+    # --- Fast-UAP inner step (DeepFoolCosinus)
+    if want("fastuap"):
+        e = jax.random.normal(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3)) * 0.01
+        dfc = jax.jit(
+            lambda img, a: deepfool_cosinus_batch(apply_fn, variables, img, a, max_iter=10)
+        )
+        dt = timed(dfc, x16, e)
+        record("deepfool_cosinus_b16_maxiter10", dt, "s/batch",
+               f"fast_uap.py:113-214; {16/dt:.1f} img/s")
+
+    # --- ADiL inference modes (trained-dict attack path, adil.py:432-655)
+    acfg = AdilConfig(eps=8 / 255, n_atoms=100, loss="ce", steps_inference=30)
+    d100 = jax.random.uniform(jax.random.PRNGKey(5), (100, SIZE, SIZE, 3), minval=-1, maxval=1)
+    if want("ddrague"):
+        dd = jax.jit(lambda d, img: core.supervised_ddrague(apply_fn, variables, d, img, acfg))
+        dt = timed(dd, d100, x64)
+        record("adil_ddrague_b64", dt, "s/batch (<=30 iters)",
+               f"adil.py:508-567; {64/dt:.0f} img/s")
+    if want("adamw_codes"):
+        ac = jax.jit(lambda d, img: core.supervised_adamw_codes(apply_fn, variables, d, img, acfg))
+        dt = timed(ac, d100, x64)
+        record("adil_adamw_codes_b64", dt, "s/batch (<=100 iters)",
+               f"adil.py:569-623; {64/dt:.0f} img/s")
+    if want("unsup"):
+        us = jax.jit(
+            lambda d, img, k: core.unsupervised_sample(apply_fn, variables, d, img, k, acfg)
+        )
+        dt = timed(us, d100, x64, key)
+        record("adil_unsupervised_b64_trials10", dt, "s/batch",
+               f"adil.py:460-506; {64/dt:.0f} img/s")
+
+    # --- ADiL train step on the ViT-B/16 victim (BASELINE.json scope adds
+    # ViT beyond the reference's six CNNs)
+    if want("vit_step"):
+        vit = create_model("vit_b16", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        vcfg = AdilConfig(eps=8 / 255, n_atoms=100, loss="logits", kappa=50.0,
+                          batch_size=64, perturb_dtype="bfloat16")
+        state = core.init_state(jax.random.PRNGKey(6), (SIZE, SIZE, 3), 64, vcfg)
+        step = jax.jit(core.make_train_step(vit.apply_fn, vcfg, "both"),
+                       donate_argnums=(0,))
+        idx = jnp.arange(64)
+        mask = jnp.ones((64,))
+        lab = core.predict_labels(vit.apply_fn, vit.variables, x64)
+        xb = x64.astype(jnp.bfloat16)
+
+        def one():
+            nonlocal state
+            state, loss, _ = step(state, vit.variables, xb, lab, idx, mask)
+            return loss
+
+        dt = timed(one, iters=10)
+        record("adil_train_step_vit_b16_b64", dt, "s/iter",
+               f"{1/dt:.1f} it/s — ViT victim (BASELINE.json scope)")
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main(tuple(sys.argv[1:]))

@@ -1,0 +1,80 @@
+"""Fold frozen BatchNorms into conv kernels (exact for eval-mode victims).
+
+The reference's victims are ALWAYS frozen in eval mode (``model.eval()``,
+adil.py:68), so each BatchNorm is a fixed per-channel affine
+``y = (conv(x) - mean)/sqrt(var+eps) * scale + bias`` that can be absorbed
+into the preceding conv: ``kernel' = kernel * s``, ``bias' = bias - mean*s``
+with ``s = scale / sqrt(var + eps)``. Folding removes one full elementwise
+pass over every activation tensor in both the forward and the attack's
+backward — measured on the headline train step in BENCHMARKS.md.
+
+Works on the ResNet family (ConvBN / S2DStem modules). Build the folded
+module with ``create_model(..., fold_bn=True)`` and convert existing
+variables with :func:`fold_victim_bn`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+_BN_EPS = 1e-5
+
+
+def _fold_pair(kernel: np.ndarray, bn_params: Dict, bn_stats: Dict,
+               eps: float) -> Dict[str, np.ndarray]:
+    s = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_stats["var"]) + eps)
+    bias = np.asarray(bn_params["bias"]) - np.asarray(bn_stats["mean"]) * s
+    kernel = np.asarray(kernel) * s  # broadcast over the output-channel axis
+    return {"kernel": kernel.astype(np.asarray(kernel).dtype), "bias": bias}
+
+
+def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:
+    """variables of an unfolded ResNet -> variables for fold_bn=True.
+
+    Handles the two conv+BN shapes in the zoo: ConvBN modules
+    (``{Conv_0: {kernel}, BatchNorm_0: {scale, bias}}``) and the S2D stem
+    (``{kernel, BatchNorm_0: {...}}``); everything else copies through.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def rec(p, s):
+        keys = set(p.keys())
+        if keys == {"Conv_0", "BatchNorm_0"}:
+            folded = _fold_pair(p["Conv_0"]["kernel"], p["BatchNorm_0"],
+                                s["BatchNorm_0"], eps)
+            return {"Conv_0": folded}
+        if keys == {"kernel", "BatchNorm_0"}:
+            return _fold_pair(p["kernel"], p["BatchNorm_0"], s["BatchNorm_0"], eps)
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = rec(v, s.get(k, {}) if isinstance(s, dict) else {})
+            else:
+                out[k] = np.asarray(v)
+        return out
+
+    return {"params": rec(params, stats)}
+
+
+def fold_victim(victim):
+    """VictimModel (unfolded ResNet) -> VictimModel with folded BN.
+
+    Returns a new victim whose module was rebuilt with ``fold_bn=True`` and
+    whose variables were converted; logits match the original to fp
+    tolerance (tests/test_fold_bn.py).
+    """
+    from . import create_model
+
+    variables = fold_victim_bn(victim.variables)
+    return create_model(
+        victim.name,
+        num_classes=victim.num_classes,
+        dtype=victim.module.dtype,
+        input_size=victim.input_size,
+        variables=variables,
+        stem_s2d=getattr(victim.module, "stem_s2d", False),
+        fold_bn=True,
+    )

@@ -52,9 +52,29 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 1
     bn_eps: float = 1e-5
+    # Folded mode: the (frozen, eval-mode) BatchNorm is algebraically
+    # absorbed into the conv kernel + a bias — exact for inference-only
+    # victims (model.eval(), adil.py:68) and removes one full elementwise
+    # pass over every activation tensor. Params become {kernel, bias} only;
+    # use models.fold.fold_victim_bn to convert unfolded variables.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fold_bn:
+            padding = self.padding
+            if padding == "TORCH":
+                padding = tuple((k // 2, k // 2) for k in self.kernel)
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=padding,
+                use_bias=True,
+                feature_group_count=self.groups,
+                dtype=self.dtype,
+            )(x)
+            return nn.relu(x) if self.relu else x
         # "TORCH" = torchvision's symmetric k//2 padding. Identical to XLA
         # "SAME" for stride-1 odd kernels, but NOT for strided convs (SAME
         # pads asymmetrically, e.g. (2,3) for a 7x7/s2 at 224 where torch

@@ -32,6 +32,7 @@ class S2DStem(nn.Module):
 
     features: int = 64
     dtype: Any = jnp.float32
+    fold_bn: bool = False  # frozen BN absorbed into kernel+bias (see ConvBN)
 
     @nn.compact
     def __call__(self, x):
@@ -62,6 +63,9 @@ class S2DStem(nn.Module):
             padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if self.fold_bn:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            return nn.relu(y + bias.astype(y.dtype))
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
         return nn.relu(x)
 
@@ -70,15 +74,19 @@ class BasicBlock(nn.Module):
     features: int
     strides: tuple = (1, 1)
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype)(x)
-        y = ConvBN(self.features, (3, 3), relu=False, dtype=self.dtype)(y)
+        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype,
+                   fold_bn=self.fold_bn)(x)
+        y = ConvBN(self.features, (3, 3), relu=False, dtype=self.dtype,
+                   fold_bn=self.fold_bn)(y)
         if residual.shape != y.shape:
             residual = ConvBN(
-                self.features, (1, 1), self.strides, relu=False, dtype=self.dtype
+                self.features, (1, 1), self.strides, relu=False,
+                dtype=self.dtype, fold_bn=self.fold_bn
             )(x)
         return nn.relu(y + residual)
 
@@ -87,16 +95,21 @@ class Bottleneck(nn.Module):
     features: int
     strides: tuple = (1, 1)
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x)
-        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype)(y)
-        y = ConvBN(self.features * 4, (1, 1), relu=False, dtype=self.dtype)(y)
+        y = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                   fold_bn=self.fold_bn)(x)
+        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype,
+                   fold_bn=self.fold_bn)(y)
+        y = ConvBN(self.features * 4, (1, 1), relu=False, dtype=self.dtype,
+                   fold_bn=self.fold_bn)(y)
         if residual.shape != y.shape:
             residual = ConvBN(
-                self.features * 4, (1, 1), self.strides, relu=False, dtype=self.dtype
+                self.features * 4, (1, 1), self.strides, relu=False,
+                dtype=self.dtype, fold_bn=self.fold_bn
             )(x)
         return nn.relu(y + residual)
 
@@ -107,30 +120,36 @@ class ResNet(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
     stem_s2d: bool = False
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = S2DStem(64, dtype=self.dtype)(x)
+            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn)(x)
         else:
-            x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype)(x)
+            x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype,
+                       fold_bn=self.fold_bn)(x)
         # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
         x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, size in enumerate(self.stage_sizes):
             for j in range(size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block(64 * 2**i, strides, dtype=self.dtype)(x)
+                x = self.block(64 * 2**i, strides, dtype=self.dtype,
+                               fold_bn=self.fold_bn)(x)
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def resnet18(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False) -> ResNet:
-    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype, stem_s2d)
+def resnet18(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
+             fold_bn: bool = False) -> ResNet:
+    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype, stem_s2d, fold_bn)
 
 
-def resnet34(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False) -> ResNet:
-    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype, stem_s2d)
+def resnet34(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
+             fold_bn: bool = False) -> ResNet:
+    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype, stem_s2d, fold_bn)
 
 
-def resnet50(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False) -> ResNet:
-    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype, stem_s2d)
+def resnet50(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
+             fold_bn: bool = False) -> ResNet:
+    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype, stem_s2d, fold_bn)

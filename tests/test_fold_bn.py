@@ -1,0 +1,71 @@
+"""BN folding must be numerically exact (eval-mode victims only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_attack_on_imagenet_tpu.models import create_model
+from dl_attack_on_imagenet_tpu.models.fold import fold_victim, fold_victim_bn
+
+
+def _randomize_bn(variables, seed=0):
+    """Non-trivial BN stats/affine so folding bugs can't hide behind the
+    mean=0/var=1/scale=1 init."""
+    key = jax.random.PRNGKey(seed)
+
+    def rec(tree, is_stats):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if k.startswith("BatchNorm"):
+                    nonlocal key
+                    key, k1, k2 = jax.random.split(key, 3)
+                    if is_stats:
+                        out[k] = {
+                            "mean": jax.random.normal(k1, v["mean"].shape) * 0.5,
+                            "var": jax.random.uniform(k2, v["var"].shape, minval=0.5, maxval=1.5),
+                        }
+                    else:
+                        out[k] = {
+                            "scale": jax.random.uniform(k1, v["scale"].shape, minval=0.5, maxval=1.5),
+                            "bias": jax.random.normal(k2, v["bias"].shape) * 0.1,
+                        }
+                else:
+                    out[k] = rec(v, is_stats)
+            else:
+                out[k] = v
+        return out
+
+    return {
+        "params": rec(variables["params"], False),
+        "batch_stats": rec(variables["batch_stats"], True),
+    }
+
+
+def _check(name, **kw):
+    victim = create_model(name, rng=jax.random.PRNGKey(1), input_size=64, **kw)
+    import dataclasses
+
+    victim = dataclasses.replace(victim, variables=_randomize_bn(victim.variables))
+    folded = fold_victim(victim)
+    assert "batch_stats" not in folded.variables
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    a = np.asarray(victim.apply_fn(victim.variables, x))
+    b = np.asarray(folded.apply_fn(folded.variables, x))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_fold_resnet18():
+    _check("resnet18")
+
+
+def test_fold_resnet50_s2d():
+    _check("resnet50", stem_s2d=True)
+
+
+def test_fold_variables_structure():
+    victim = create_model("resnet18", rng=jax.random.PRNGKey(1), input_size=64)
+    folded_vars = fold_victim_bn(victim.variables)
+    flat = jax.tree_util.tree_leaves_with_path(folded_vars)
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert not any("BatchNorm" in n for n in names)
