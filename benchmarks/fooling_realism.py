@@ -116,34 +116,54 @@ def main():
                           "seconds": round(train_dt, 1)}
     }), flush=True)
 
-    cache = ArtifactCache("/tmp/fooling_realism_dicts")
-    atk = ADIL(
-        victim, eps=8 / 255, n_atoms=100, loss="logits", kappa=50.0,
-        steps=40, batch_size=64, steps_inference=30, cache=cache,
-        model_name="realism", seed=0, val_every=10, verbose=True,
-    )
-    t0 = time.perf_counter()
-    atk.learn_dictionary(ds_train, ds_val)
-    learn_dt = time.perf_counter() - t0
-    hist = atk.history
-    n_epochs = len(hist["loss"])
-    iters_per_epoch = -(-N_TRAIN // 64)
-    its = n_epochs * iters_per_epoch / learn_dt
+    import shutil
 
-    # Held-out inference fooling (DDrague on never-seen images).
-    adv = atk(jnp.asarray(val_x))
-    fool = float(metrics.compute_fooling_rate(victim, adv, jnp.asarray(val_x))) / N_VAL
-    print(json.dumps({
-        "adil_training": {
+    shutil.rmtree("/tmp/fooling_realism_dicts", ignore_errors=True)
+    cache = ArtifactCache("/tmp/fooling_realism_dicts")
+
+    def run(eps, tag, steps=40):
+        atk = ADIL(
+            victim, eps=eps, n_atoms=100, loss="logits", kappa=50.0,
+            steps=steps, batch_size=64, steps_inference=30, cache=cache,
+            model_name=tag, seed=0, val_every=10, verbose=False,
+        )
+        t0 = time.perf_counter()
+        atk.learn_dictionary(ds_train, ds_val)
+        learn_dt = time.perf_counter() - t0
+        hist = atk.history
+        n_epochs = len(hist["loss"])
+        its = n_epochs * (-(-N_TRAIN // 64)) / learn_dt
+        adv = atk(jnp.asarray(val_x))  # DDrague on never-seen images
+        fool = float(metrics.compute_fooling_rate(victim, adv, jnp.asarray(val_x))) / N_VAL
+        # Hard-budget fooling: the v-AdamW solver never exceeds eps
+        # (DDrague's dv = D D†z is not l∞-contractive — documented property).
+        adv_budget = atk.forward_supervised_adamw(jnp.asarray(val_x))
+        fool_budget = float(
+            metrics.compute_fooling_rate(victim, adv_budget, jnp.asarray(val_x))
+        ) / N_VAL
+        linf = float(jnp.max(jnp.abs(adv_budget - val_x)))
+        return {
+            "eps": round(eps, 4),
             "epochs": n_epochs,
-            "iters_per_sec": round(its, 2),
-            "seconds": round(learn_dt, 1),
+            "iters_per_sec_incl_compile": round(its, 2),
             "train_fooling_curve": [round(f, 3) for f in hist["fooling_rate"][:: max(n_epochs // 10, 1)]],
             "final_train_fooling": round(hist["fooling_rate"][-1], 3),
-            "val_fooling_during_training": hist.get("val_fooling"),
-        },
-        "heldout_ddrague_fooling": round(fool, 3),
-    }), flush=True)
+            "heldout_ddrague_fooling": round(fool, 3),
+            "heldout_budgeted_fooling": round(fool_budget, 3),
+            "budgeted_linf": round(linf, 4),
+        }
+
+    # Cold run at the headline operating point (eps=8/255), then a warm
+    # rerun for steady-state it/s (jit cache hot), then a wider budget to
+    # show high HARD-budget fooling against the robust synthetic victim.
+    r_cold = run(8 / 255, "realism_cold")
+    r_warm = run(8 / 255, "realism_warm")
+    r_wide = run(32 / 255, "realism_wide")
+    print(json.dumps({
+        "eps_8_255_cold": r_cold,
+        "eps_8_255_warm_steady": r_warm,
+        "eps_32_255": r_wide,
+    }, indent=1), flush=True)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,37 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class PatchConv(nn.Module):
+    """Patchify as reshape + one MXU matmul (parameters identical to the
+    equivalent ``nn.Conv(features, (p,p), strides=(p,p))``).
+
+    An attack differentiates wrt the IMAGE; the input-gradient of a
+    stride-16 conv lowers to a scatter that XLA executes catastrophically
+    (76 ms of a 118 ms device-busy ViT attack step on v5e — 64% of the
+    step, BENCHMARKS.md round-2 trace). Patches don't overlap, so embedding
+    is exactly a reshape/transpose + matmul whose gradient is another
+    matmul plus layout ops: 118 -> 42 ms device busy (2.8x), leaving the
+    attack step at ~97% of the chip's measured matmul ceiling.
+    """
+
+    features: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        p = self.patch
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.reshape(n, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, (h // p) * (w // p), p * p * c)
+        w_mat = kernel.astype(self.dtype).reshape(p * p * c, self.features)
+        return x.astype(self.dtype) @ w_mat + bias.astype(self.dtype)
+
+
 class MlpBlock(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.float32
@@ -54,15 +85,11 @@ class ViT(nn.Module):
     @nn.compact
     def __call__(self, x):
         n = x.shape[0]
-        # Patchify via strided conv (one big MXU matmul per image).
-        x = nn.Conv(
-            self.hidden_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
+        # Patchify via reshape+matmul (see PatchConv); name stays "Conv_0"
+        # so variable structure and the torch converter are unchanged.
+        x = PatchConv(
+            self.hidden_dim, self.patch_size, dtype=self.dtype, name="Conv_0"
         )(x)
-        x = x.reshape(n, -1, self.hidden_dim)
         cls = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, self.hidden_dim)
         ).astype(x.dtype)
