@@ -59,12 +59,13 @@ def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:
     return {"params": rec(params, stats)}
 
 
-def fold_victim(victim):
+def fold_victim(victim, normalize: bool = True):
     """VictimModel (unfolded ResNet) -> VictimModel with folded BN.
 
     Returns a new victim whose module was rebuilt with ``fold_bn=True`` and
     whose variables were converted; logits match the original to fp
-    tolerance (tests/test_fold_bn.py).
+    tolerance (tests/test_fold_bn.py). ``normalize`` must match how the
+    original victim was created (create_model's default is True).
     """
     from . import create_model
 
@@ -75,6 +76,7 @@ def fold_victim(victim):
         dtype=victim.module.dtype,
         input_size=victim.input_size,
         variables=variables,
+        normalize=normalize,
         stem_s2d=getattr(victim.module, "stem_s2d", False),
         fold_bn=True,
     )

@@ -187,3 +187,28 @@ def test_vgg11_flatten_order_is_channel_major():
     with torch.no_grad():
         ref = model.classifier[0](torch.from_numpy(feats).flatten(1)).numpy()
     np.testing.assert_allclose(manual, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_resnet18_fold_bn_composes_with_converter(x224):
+    # Full production path: real torch state_dict -> convert -> fold frozen
+    # BN into conv weights -> logits still match the torch forward.
+    from dl_attack_on_imagenet_tpu.models.fold import fold_victim
+
+    model = TorchResNet18()
+    _randomize_bn_stats(model, seed=3)
+    model.eval()
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x224)).numpy()
+    victim = create_model("resnet18", normalize=False)
+    import dataclasses
+
+    victim = dataclasses.replace(
+        victim,
+        variables=convert_torch_state_dict(model.state_dict(), victim.variables),
+    )
+    folded = fold_victim(victim, normalize=False)
+    assert "batch_stats" not in folded.variables
+    got = np.asarray(
+        folded.apply_fn(folded.variables, jnp.asarray(np.transpose(x224, (0, 2, 3, 1))))
+    )
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
