@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 jax.config.update(
@@ -172,6 +173,32 @@ def main(only=()):
         dt = timed(us, d100, x64, key)
         record("adil_unsupervised_b64_trials10", dt, "s/batch",
                f"adil.py:460-506; {64/dt:.0f} img/s")
+
+    # --- ADILR Laplace-sampled unsupervised inference, all 4 conditioning
+    # modes (adil_regularized.py:817-978) — class-level path incl. the
+    # Laplace fit from a freshly-trained artifact.
+    if want("adilr_unsup"):
+        import tempfile
+
+        from dl_attack_on_imagenet_tpu.attacks.adil_regularized import ADILR
+        from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+        atk = ADILR(
+            victim, steps=3, n_atoms=10, batch_size=16, trials=20,
+            attack="unsupervised", attack_conditioned="labels_atoms",
+            data_train=(np.asarray(x16), np.asarray(labels16)),
+            cache=ArtifactCache(tempfile.mkdtemp()),
+        )
+        key_b = jax.random.PRNGKey(9)
+        for mode, fn in (
+            ("labels_atoms", lambda: atk.forward_unsupervised_conditioned_target_atoms(x16, labels16, key_b, "labels")),
+            ("predictions_atoms", lambda: atk.forward_unsupervised_conditioned_target_atoms(x16, labels16, key_b, "predictions")),
+            ("atoms", lambda: atk.forward_unsupervised_conditioned_atoms(x16, key_b)),
+            ("none", lambda: atk.forward_unsupervised(x16, key_b)),
+        ):
+            dt = timed(fn, iters=3)
+            record(f"adilr_unsup_{mode}_b16_trials20", dt, "s/batch",
+                   f"{16/dt:.0f} img/s")
 
     # --- ADiL train step on the ViT-B/16 victim (BASELINE.json scope adds
     # ViT beyond the reference's six CNNs)
