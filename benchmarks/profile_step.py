@@ -38,7 +38,8 @@ def build_step(batch=64):
         step_size=0.01, batch_size=batch, perturb_dtype="bfloat16",
     )
     victim = create_model(
-        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, stem_s2d=True
+        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        stem_s2d=True, fold_bn=True,
     )
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     images = jax.random.uniform(k1, (batch, 224, 224, 3))

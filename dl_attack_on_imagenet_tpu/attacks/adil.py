@@ -234,6 +234,8 @@ class ADIL(Attack):
         """Per-epoch validation: optimize fresh codes on val, count fooling
         (adil.py:199-205 -> forward_supervised_AdamW in 'train' mode)."""
         ds = as_array_dataset(data_val)
+        if d.ndim == 2:  # flat training layout -> presentation shape
+            d = core.d_image(d, ds.image_shape)
         total = 0.0
         for _, x, _ in ds.batches(self.cfg.batch_size):
             total += float(
@@ -271,7 +273,7 @@ class ADIL(Attack):
             template_state.opt_state, payload["opt_state"]
         )
         state = template_state.replace(
-            d=jnp.asarray(payload["d"]),
+            d=jnp.asarray(payload["d"]).reshape(template_state.d.shape),
             v=jnp.asarray(payload["v"]),
             opt_state=opt_state,
             epoch=jnp.asarray(payload["epoch"], jnp.int32),
@@ -326,7 +328,7 @@ class ADIL(Attack):
                 break
 
         self.timing = timer.summary()
-        self._save(state.d, state.v, {
+        self._save(core.d_image(state.d, ds.image_shape), state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
         if self.checkpoint_every:
@@ -424,7 +426,7 @@ class ADIL(Attack):
                 break
 
         self.timing = timer.summary()
-        self._save(state.d, state.v, {
+        self._save(core.d_image(state.d, ds.image_shape), state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
         if self.checkpoint_every:
@@ -527,7 +529,7 @@ class ADIL(Attack):
                 break
 
         self.timing = timer.summary()
-        self._save(state.d, state.v, {
+        self._save(core.d_image(state.d, (size, size, 3)), state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
         if self.checkpoint_every:
@@ -579,7 +581,7 @@ class ADIL(Attack):
                 break
 
         self.timing = timer.summary()
-        self._save(state.d, state.v, {
+        self._save(core.d_image(state.d, ds.image_shape), state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
         if self.checkpoint_every:

@@ -79,12 +79,26 @@ class AdilConfig:
 
 
 class AdilState(struct.PyTreeNode):
-    """Learnable attack state: dictionary + per-image codes + optimizer."""
+    """Learnable attack state: dictionary + per-image codes + optimizer.
 
-    d: jax.Array  # (K, H, W, C)
+    ``d`` is stored FLAT (K, H*W*C) — the matmul-native layout. Keeping the
+    training-resident dictionary 2-D lets XLA assign one consistent layout
+    to the donated parameter, its AdamW moments, and the D·v / D-gradient
+    matmuls; with a 4-D (K, H, W, C) state the compiler materialized ~0.8 ms
+    of pure layout copies per step reconciling the matmul layout with the
+    4-D parameter layout (v5e device trace, BENCHMARKS.md round 2). Use
+    :func:`d_image` for the presentation shape at API boundaries.
+    """
+
+    d: jax.Array  # (K, H*W*C) — flat training layout; see d_image()
     v: jax.Array  # (N, K)
     opt_state: Any
     epoch: jax.Array  # scalar int32
+
+
+def d_image(d: jax.Array, image_shape) -> jax.Array:
+    """Dictionary in presentation shape (K,)+image_shape from any layout."""
+    return d.reshape((d.shape[0],) + tuple(image_shape))
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +148,7 @@ def init_state(
 ) -> AdilState:
     kd, kv = jax.random.split(key)
     d = init_dictionary(kd, image_shape, cfg) if d_init is None else d_init
+    d = jnp.asarray(d).reshape(d.shape[0], -1)  # flat training layout
     v = init_codes(kv, n_img, cfg, mode)
     if mode == "alter":
         opt_state = {
@@ -165,15 +180,16 @@ def _batch_loss(
     Training applies NO pixel clamp on x+dv (reference Attack_dict_model
     forward, adil.py:24-26).
     """
+    # d may be flat (K, H*W*C) — the AdilState training layout — or
+    # (K, H, W, C) (the DP path keeps the replicated dictionary 4-D); dv is
+    # reshaped to the image batch either way.
     if cfg.perturb_dtype == "bfloat16":
         d_flat = d.reshape(d.shape[0], -1).astype(jnp.bfloat16)
-        dv = jnp.dot(v_rows.astype(jnp.bfloat16), d_flat).reshape(
-            (x.shape[0],) + d.shape[1:]
-        )
+        dv = jnp.dot(v_rows.astype(jnp.bfloat16), d_flat).reshape(x.shape)
         x_c = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
         logits = apply_fn(variables, x_c + dv).astype(jnp.float32)
     else:
-        dv = dict_apply(v_rows, d)
+        dv = dict_apply(v_rows, d).reshape(x.shape)
         logits = apply_fn(variables, x + dv).astype(jnp.float32)
     if cfg.loss == "ce":
         logp = jax.nn.log_softmax(logits, axis=-1)

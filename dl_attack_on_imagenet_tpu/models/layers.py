@@ -115,13 +115,31 @@ def _pool_pads(h, w, window, strides, padding):
 
 import os as _os
 
-# MEASURED OFF by default: in isolation the custom VJP matches
-# select_and_scatter (0.027 vs 0.025 ms at the ResNet stem pool), but inside
-# the full ADiL train-step graph it halves throughput (53.9 -> 27.2 it/s on
-# v5e, bench.py A/B) — the custom_vjp boundary blocks XLA's backward-pass
-# fusion around the pool. Kept as a verified optional tier (same story as
-# ops/pallas_kernels.py): enable with ADIL_MAXPOOL_VJP=1.
-_USE_POOL_VJP = _os.environ.get("ADIL_MAXPOOL_VJP", "0") == "1"
+# Max-pool backward strategy (ADIL_MAXPOOL env):
+#   'sas'    (default) — nn.max_pool; jax.grad lowers the backward to
+#            select_and_scatter (0.76 ms of the 17.5 ms headline step).
+#   'vjp'    — custom first-match VJP. MEASURED OFF: in isolation it matches
+#            select_and_scatter (0.027 vs 0.025 ms at the ResNet stem pool),
+#            but inside the full ADiL train-step graph it halves throughput
+#            (53.9 -> 27.2 it/s on v5e, bench.py A/B) — the custom_vjp
+#            boundary blocks XLA's backward-pass fusion around the pool.
+#   'slices' — forward as a max-tree over the kh*kw window taps (strided
+#            slices). No custom_vjp boundary: plain autodiff turns the
+#            backward into elementwise compares + dilated-pad scatters.
+#            Forward values are exact; gradients are exact wherever the
+#            window max is unique, and on exact ties the gradient is SPLIT
+#            among maxima (jax.lax.max subgradient) rather than sent to the
+#            first tap as select_and_scatter/torch do — both are valid
+#            subgradients (tests/test_max_pool_vjp.py). MEASURED OFF too:
+#            bench A/B reads 26.3 vs 55.4 it/s — the same ~2x collapse as
+#            'vjp', i.e. the regression was never the custom_vjp boundary
+#            but losing reduce_window itself: XLA reorganizes the whole
+#            backward around the slice/pad chain. select_and_scatter's
+#            0.76 ms is already the cheap option in-graph.
+_POOL_MODE = _os.environ.get(
+    "ADIL_MAXPOOL",
+    "vjp" if _os.environ.get("ADIL_MAXPOOL_VJP", "0") == "1" else "sas",
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -192,9 +210,51 @@ def _max_pool_bwd(window, strides, padding, res, g):
 _max_pool_custom.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
+def _max_pool_slices(x, window=(3, 3), strides=(2, 2), padding="SAME"):
+    """Max pool as a max-tree over window taps (see _POOL_MODE 'slices').
+
+    Each tap (i, j) is a strided slice of x at that window offset (-inf
+    where the window hangs off the edge); the pool output is the elementwise
+    maximum over the kh*kw taps. Identical values to reduce_window-max;
+    autodiff produces a select_and_scatter-free backward.
+    """
+    n, h, w, c = x.shape
+    kh, kw = window
+    sh, sw = strides
+    (pl_h, ph_h), (pl_w, ph_w) = _pool_pads(h, w, window, strides, padding)
+    ho = (h + pl_h + ph_h - kh) // sh + 1
+    wo = (w + pl_w + ph_w - kw) // sw + 1
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    taps = []
+    for i in range(kh):
+        for j in range(kw):
+            # Output (a, b) tap (i, j) reads x[sh*a - pl_h + i, sw*b - pl_w + j].
+            off_h, off_w = i - pl_h, j - pl_w
+            lo_h = max(-off_h, 0)
+            lo_w = max(-off_w, 0)
+            hi_h = max(off_h + (ho - 1) * sh + 1 - h, 0)
+            hi_w = max(off_w + (wo - 1) * sw + 1 - w, 0)
+            xs = jax.lax.pad(
+                x, neg,
+                ((0, 0, 0), (lo_h, hi_h, 0), (lo_w, hi_w, 0), (0, 0, 0)),
+            )
+            taps.append(
+                jax.lax.slice(
+                    xs,
+                    (0, off_h + lo_h, off_w + lo_w, 0),
+                    (n, off_h + lo_h + (ho - 1) * sh + 1,
+                     off_w + lo_w + (wo - 1) * sw + 1, c),
+                    (1, sh, sw, 1),
+                )
+            )
+    return functools.reduce(jnp.maximum, taps)
+
+
 def max_pool(x, window=(3, 3), strides=(2, 2), padding="SAME"):
-    if _USE_POOL_VJP:
+    if _POOL_MODE == "vjp":
         return _max_pool_custom(x, window, strides, padding)
+    if _POOL_MODE == "slices":
+        return _max_pool_slices(x, window, strides, padding)
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 
 

@@ -68,3 +68,49 @@ def test_second_order_input_grad_through_pool():
 
     g = jax.grad(f)(x)
     assert g.shape == x.shape
+
+
+# --- 'slices' mode: forward as a max-tree over window taps -----------------
+
+from dl_attack_on_imagenet_tpu.models.layers import _max_pool_slices
+
+
+@pytest.mark.parametrize("window,strides,padding", CASES)
+def test_slices_forward_exact(window, strides, padding):
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 13, 11, 4))
+    y = nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+    np.testing.assert_array_equal(
+        np.asarray(_max_pool_slices(x, window, strides, padding)),
+        np.asarray(y),
+    )
+
+
+@pytest.mark.parametrize("window,strides,padding", CASES)
+def test_slices_gradient_tie_free(window, strides, padding):
+    # Continuous random inputs: window maxima are unique, so the max-tree
+    # subgradient equals select_and_scatter exactly.
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 12, 12, 3))
+    ref_fn = lambda v: nn.max_pool(v, window_shape=window, strides=strides,
+                                   padding=padding)
+    new_fn = lambda v: _max_pool_slices(v, window, strides, padding)
+    co = jax.random.normal(jax.random.PRNGKey(9), ref_fn(x).shape)
+    a = np.asarray(jax.grad(lambda v: jnp.sum(ref_fn(v) * co))(x))
+    b = np.asarray(jax.grad(lambda v: jnp.sum(new_fn(v) * co))(x))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("window,strides,padding", CASES)
+def test_slices_gradient_conserved_on_ties(window, strides, padding):
+    # On exact ties the max-tree SPLITS the gradient among maxima (a valid
+    # subgradient) instead of first-match; per-window mass is conserved, so
+    # the total gradient mass must equal select_and_scatter's.
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 13, 11, 4))
+    x = jnp.maximum(jnp.round(x), 0.0)
+    ref_fn = lambda v: nn.max_pool(v, window_shape=window, strides=strides,
+                                   padding=padding)
+    new_fn = lambda v: _max_pool_slices(v, window, strides, padding)
+    y = ref_fn(x)
+    co = jnp.ones_like(y)
+    a = np.asarray(jax.grad(lambda v: jnp.sum(ref_fn(v) * co))(x))
+    b = np.asarray(jax.grad(lambda v: jnp.sum(new_fn(v) * co))(x))
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-5)

@@ -153,7 +153,7 @@ def test_training_trajectory_parity(setup):
         np.asarray(state.v), v_t.detach().numpy(), atol=5e-4
     )
     np.testing.assert_allclose(
-        np.asarray(state.d),
+        np.asarray(core.d_image(state.d, (32, 32, 3))),
         d_t.detach().numpy().transpose(0, 2, 3, 1),
         atol=5e-4,
     )
