@@ -33,6 +33,7 @@ class S2DStem(nn.Module):
     features: int = 64
     dtype: Any = jnp.float32
     fold_bn: bool = False  # frozen BN absorbed into kernel+bias (see ConvBN)
+    relu: bool = True  # deferred by ResNet: relu commutes with max_pool
 
     @nn.compact
     def __call__(self, x):
@@ -65,9 +66,10 @@ class S2DStem(nn.Module):
         )
         if self.fold_bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            return nn.relu(y + bias.astype(y.dtype))
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
-        return nn.relu(x)
+            y = y + bias.astype(y.dtype)
+        else:
+            y = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
+        return nn.relu(y) if self.relu else y
 
 
 class BasicBlock(nn.Module):
@@ -124,13 +126,23 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # The stem relu runs AFTER the max pool: relu and max_pool are both
+        # monotone, so max_pool(relu(y)) == relu(max_pool(y)) exactly (the
+        # pool's -inf padding is never selected either way, and the routed
+        # gradient is identical: the window argmax is unchanged and any
+        # gradient routed through a non-positive max is zeroed by the relu
+        # mask in both orders — tests/test_s2d_stem.py). Computing the relu
+        # at 56x56 instead of 112x112 removes a full 103 MB activation
+        # save + backward mask pass from the attack step.
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
+                        relu=False)(x)
         else:
             x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype,
-                       fold_bn=self.fold_bn)(x)
+                       fold_bn=self.fold_bn, relu=False)(x)
         # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
         x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        x = nn.relu(x)
         for i, size in enumerate(self.stage_sizes):
             for j in range(size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)

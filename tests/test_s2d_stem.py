@@ -66,3 +66,36 @@ def test_odd_input_falls_back(rng):
     assert "ConvBN_0" in variables["params"]  # fell back
     out = m.apply(variables, x)
     assert out.shape == (1, 10)
+
+
+# --- relu <-> max_pool commutation (the stem pool reorder in ResNet) --------
+
+
+def test_relu_pool_commute_values_and_grads():
+    """max_pool(relu(y)) == relu(max_pool(y)) exactly, values AND gradients.
+
+    ResNet computes the stem relu after the pool (resnet.py) so the relu +
+    activation save run at 56x56 instead of 112x112; this must be a pure
+    graph reorder. Tie-heavy quantized inputs cover the subgradient edge
+    cases (equal maxima, exact zeros).
+    """
+    import flax.linen as nn
+
+    for seed, quantize in [(0, False), (1, True)]:
+        y = jax.random.normal(jax.random.PRNGKey(seed), (2, 12, 12, 5))
+        if quantize:
+            y = jnp.round(y)  # exact ties incl. zeros
+
+        def a(v):
+            return nn.max_pool(nn.relu(v), window_shape=(3, 3),
+                               strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        def b(v):
+            return nn.relu(nn.max_pool(v, window_shape=(3, 3),
+                                       strides=(2, 2), padding=((1, 1), (1, 1))))
+
+        np.testing.assert_array_equal(np.asarray(a(y)), np.asarray(b(y)))
+        co = jax.random.normal(jax.random.PRNGKey(seed + 10), a(y).shape)
+        ga = jax.grad(lambda v: jnp.sum(a(v) * co))(y)
+        gb = jax.grad(lambda v: jnp.sum(b(v) * co))(y)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
