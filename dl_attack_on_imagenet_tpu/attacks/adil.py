@@ -292,7 +292,11 @@ class ADIL(Attack):
         """Joint projected-AdamW over (D, v). Reference: adil.py:114-210."""
         ds, images, n, key, state = self._prepare(data_train, "gd")
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
-        epoch_fn = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "both")
+        # Pre-sliced epochs: one whole-dataset gather per epoch, then a
+        # gather-free scan — faster than both the in-scan-gather epoch and
+        # per-step dispatch (BENCHMARKS.md round 2). Trajectory-identical to
+        # make_epoch_fn on the same batches (tests/test_train_scan.py).
+        epoch_fn = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "both")
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
@@ -308,9 +312,10 @@ class ADIL(Attack):
         for it in range(start_epoch, self.cfg.steps):
             key, sub = jax.random.split(key)
             batches = core.make_batches(sub, n, self.cfg.batch_size)
+            xs, labels_b, idx_b = core.preslice_epoch(images, labels, batches)
             with timer.step(), annotate("adil/epoch"):
                 state, loss, fooling = epoch_fn(
-                    state, self.victim.variables, images, labels, batches
+                    state, self.victim.variables, xs, labels_b, idx_b
                 )
                 jax.block_until_ready(loss)
             loss_all.append(float(loss) / n)

@@ -317,6 +317,84 @@ def make_batches(key: jax.Array, n_img: int, batch_size: int) -> jax.Array:
     return perm.reshape(n_batches, batch_size)
 
 
+def make_train_scan(
+    apply_fn: ApplyFn,
+    cfg: AdilConfig,
+    update: str = "both",
+    n_steps: int = 10,
+):
+    """n_steps chained training steps on a FIXED batch, one device dispatch.
+
+    Semantically identical to calling :func:`make_train_step` n_steps times
+    on the same (x, labels, idx, mask) — the reference's ``steps_in`` inner
+    repetitions over one phase do exactly this (adil.py:265-289, :292-316).
+    Fusing the repetitions into a single ``lax.scan`` removes the per-step
+    host-dispatch gap (~1.1 ms/step through the axon tunnel, BENCHMARKS.md)
+    with no in-scan gathers, so device time is all that remains.
+    """
+    step_fn = make_train_step(apply_fn, cfg, update)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: AdilState, variables: Any, x, labels, idx, mask):
+        def body(st, _):
+            st, loss, fooling = step_fn(st, variables, x, labels, idx, mask)
+            return st, (loss, fooling)
+
+        state, (losses, foolings) = jax.lax.scan(
+            body, state, None, length=n_steps
+        )
+        return state, losses, foolings
+
+    return run
+
+
+def preslice_epoch(images: jax.Array, labels: jax.Array, batches: jax.Array):
+    """Materialize per-batch tensors for :func:`make_epoch_fn_presliced`.
+
+    One gather over the whole dataset per epoch (amortized across its
+    batches) instead of a 38 MB in-scan gather per step — the in-scan
+    gather was measured to cost more than the dispatch gap it hides
+    (BENCHMARKS.md: 20.1 ms scanned-with-gather vs 18.6 dispatched).
+    Padded slots (index -1) gather row 0 and are masked out by idx_b < 0.
+    """
+    idx = jnp.maximum(batches, 0)
+    return images[idx], labels[idx], batches
+
+
+def make_epoch_fn_presliced(
+    apply_fn: ApplyFn,
+    cfg: AdilConfig,
+    update: str = "both",
+):
+    """One epoch as a single scan over pre-sliced batches (no in-scan gather).
+
+    Takes (xs, labels_b, idx_b) from :func:`preslice_epoch`: xs is
+    (n_batches, B, H, W, C) actual image batches — ``lax.scan`` slices the
+    leading axis for free, so each step reads its batch contiguously.
+    Trajectory-identical to :func:`make_epoch_fn` on the same ``batches``
+    (same step math, same order; v-row scatter still uses global indices).
+    """
+    step_fn = make_train_step(apply_fn, cfg, update)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: AdilState, variables: Any, xs: jax.Array,
+              labels_b: jax.Array, idx_b: jax.Array):
+        def body(st, batch):
+            x, labels, batch_idx = batch
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            idx = jnp.maximum(batch_idx, 0)
+            st, loss, fooling = step_fn(st, variables, x, labels, idx, mask)
+            return st, (loss, fooling)
+
+        state, (losses, foolings) = jax.lax.scan(
+            body, state, (xs, labels_b, idx_b)
+        )
+        state = state.replace(epoch=state.epoch + 1)
+        return state, jnp.sum(losses), jnp.sum(foolings)
+
+    return epoch
+
+
 # ---------------------------------------------------------------------------
 # Inference: supervised z-space ("DDrague")
 # ---------------------------------------------------------------------------
