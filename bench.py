@@ -55,15 +55,24 @@ def main():
     # fold_bn: frozen eval-mode BatchNorms absorbed into conv kernels+biases
     # (exact, tests/test_fold_bn.py) — removes an elementwise pass per conv
     # (53.2 -> 55.4 it/s measured A/B).
+    # blocked_input: the training pipeline runs in the s2d stem's compute
+    # layout — images fed as space_to_depth(x), dictionary columns in the
+    # same blocked order. Exactly the standard trajectory under a fixed
+    # column permutation (tests/test_blocked_pipeline.py: AdamW is
+    # elementwise; linf/l2 dictionary projections are permutation-
+    # invariant), but the model's input-gradient leaves the backward
+    # already in the D-matmul layout — no transpose/copy chain.
+    from dl_attack_on_imagenet_tpu.models.layers import space_to_depth
+
     victim = create_model(
         "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        stem_s2d=True, fold_bn=True,
+        blocked_input=True, fold_bn=True,
     )
 
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
-    images = jax.random.uniform(k1, (batch, 224, 224, 3))
-    state = core.init_state(k2, (224, 224, 3), batch, cfg)
+    images = space_to_depth(jax.random.uniform(k1, (batch, 224, 224, 3)))
+    state = core.init_state(k2, (112, 112, 12), batch, cfg)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
     images = images.astype(jnp.bfloat16)  # pre-cast once (resident data)
     # Donated state: D/v/AdamW moments update in place (saves ~1.4 ms/iter

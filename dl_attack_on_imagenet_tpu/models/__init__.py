@@ -105,14 +105,22 @@ def create_model(
     else:
         module = ctor(num_classes=num_classes, dtype=dtype, **model_kwargs)
         norm = normalize
+    # blocked_input models consume the space-to-depth layout
+    # (N, size/2, size/2, 12); the parameter tree is identical to the
+    # unblocked model (see resnet.S2DStem.blocked_input).
+    blocked = bool(model_kwargs.get("blocked_input"))
     if variables is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        dummy = jnp.zeros((1, size, size, 3), dtype)
+        if blocked:
+            dummy = jnp.zeros((1, size // 2, size // 2, 12), dtype)
+        else:
+            dummy = jnp.zeros((1, size, size, 3), dtype)
         variables = module.init(rng, dummy)
 
     if norm:
-        mean_arr = jnp.asarray(mean).reshape(1, 1, 1, -1)
-        std_arr = jnp.asarray(std).reshape(1, 1, 1, -1)
+        reps = 4 if blocked else 1  # blocked channel order is (ki, kj, c)
+        mean_arr = jnp.tile(jnp.asarray(mean), reps).reshape(1, 1, 1, -1)
+        std_arr = jnp.tile(jnp.asarray(std), reps).reshape(1, 1, 1, -1)
 
         def apply_fn(vars_, x):
             xn = (x - mean_arr.astype(x.dtype)) / std_arr.astype(x.dtype)

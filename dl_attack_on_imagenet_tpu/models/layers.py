@@ -34,6 +34,24 @@ class Normalize(nn.Module):
         return (x - mean) / std
 
 
+def space_to_depth(x: jax.Array, block: int = 2) -> jax.Array:
+    """NHWC -> blocked NHWC: (N,H,W,C) -> (N,H/b,W/b,b*b*C), channel order
+    (ki, kj, c) with c fastest — the S2DStem compute layout."""
+    n, h, w, c = x.shape
+    xb = x.reshape(n, h // block, block, w // block, block, c)
+    return xb.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, block * block * c
+    )
+
+
+def depth_to_space(xb: jax.Array, block: int = 2) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    n, hb, wb, cb = xb.shape
+    c = cb // (block * block)
+    x = xb.reshape(n, hb, wb, block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hb * block, wb * block, c)
+
+
 class ConvBN(nn.Module):
     """Conv2D + (frozen) BatchNorm + optional ReLU.
 

@@ -34,16 +34,29 @@ class S2DStem(nn.Module):
     dtype: Any = jnp.float32
     fold_bn: bool = False  # frozen BN absorbed into kernel+bias (see ConvBN)
     relu: bool = True  # deferred by ResNet: relu commutes with max_pool
+    # blocked_input: the caller feeds the (N,H/2,W/2,4C) blocked tensor
+    # directly (layers.space_to_depth order) and the stem skips its own
+    # block reshape. Lets an attack keep its perturbation state in the
+    # stem's compute layout: the input-gradient then leaves the model
+    # already in the D-matmul layout, with no transpose/copy chain
+    # (BENCHMARKS.md round 2). Parameter tree is unchanged — variables are
+    # interchangeable with the unblocked model.
+    blocked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
+        if self.blocked_input:
+            n, hb, wb, cb = x.shape
+            c = cb // 4
+            xb = x
+        else:
+            n, h, w, c = x.shape
+            # Blocked input: channel index = (ki, kj, c).
+            xb = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, c, self.features)
         )
-        # Blocked input: channel index = (ki, kj, c).
-        xb = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
         # Blocked kernel for torch padding semantics (output o reads input
         # rows 2o + a - 3, a in 0..6, i.e. symmetric pad 3): tap a maps to
         # block tap q = (a-1)//2 + 1 and parity k = (a-1) % 2, so the
@@ -123,6 +136,8 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     stem_s2d: bool = False
     fold_bn: bool = False
+    # Accept pre-blocked (N,H/2,W/2,12) input (see S2DStem.blocked_input).
+    blocked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -134,7 +149,10 @@ class ResNet(nn.Module):
         # mask in both orders — tests/test_s2d_stem.py). Computing the relu
         # at 56x56 instead of 112x112 removes a full 103 MB activation
         # save + backward mask pass from the attack step.
-        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if self.blocked_input:
+            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
+                        relu=False, blocked_input=True)(x)
+        elif self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
                         relu=False)(x)
         else:
@@ -153,15 +171,18 @@ class ResNet(nn.Module):
 
 
 def resnet18(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
-             fold_bn: bool = False) -> ResNet:
-    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype, stem_s2d, fold_bn)
+             fold_bn: bool = False, blocked_input: bool = False) -> ResNet:
+    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype, stem_s2d,
+                  fold_bn, blocked_input)
 
 
 def resnet34(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
-             fold_bn: bool = False) -> ResNet:
-    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype, stem_s2d, fold_bn)
+             fold_bn: bool = False, blocked_input: bool = False) -> ResNet:
+    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype, stem_s2d,
+                  fold_bn, blocked_input)
 
 
 def resnet50(num_classes: int = 1000, dtype=jnp.float32, stem_s2d: bool = False,
-             fold_bn: bool = False) -> ResNet:
-    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype, stem_s2d, fold_bn)
+             fold_bn: bool = False, blocked_input: bool = False) -> ResNet:
+    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype, stem_s2d,
+                  fold_bn, blocked_input)
