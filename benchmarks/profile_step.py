@@ -33,17 +33,20 @@ def build_step(batch=64):
     from dl_attack_on_imagenet_tpu.attacks.adil_core import AdilConfig
     from dl_attack_on_imagenet_tpu.models import create_model
 
+    from dl_attack_on_imagenet_tpu.models.layers import space_to_depth
+
     cfg = AdilConfig(
         eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
         step_size=0.01, batch_size=batch, perturb_dtype="bfloat16",
     )
+    # Mirrors bench.py: blocked-input pipeline (see tests/test_blocked_pipeline.py).
     victim = create_model(
         "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        stem_s2d=True, fold_bn=True,
+        blocked_input=True, fold_bn=True,
     )
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-    images = jax.random.uniform(k1, (batch, 224, 224, 3))
-    state = core.init_state(k2, (224, 224, 3), batch, cfg)
+    images = space_to_depth(jax.random.uniform(k1, (batch, 224, 224, 3)))
+    state = core.init_state(k2, (112, 112, 12), batch, cfg)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
     images = images.astype(jnp.bfloat16)
     step = jax.jit(core.make_train_step(victim.apply_fn, cfg, "both"),
