@@ -66,6 +66,7 @@ class ADIL(Attack):
         checkpoint_every: Optional[int] = None,
         resume: bool = True,
         metrics_log: Optional[str] = None,
+        blocked: Any = "auto",
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -94,6 +95,14 @@ class ADIL(Attack):
         self.stream = stream
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        # blocked: train in the s2d stem's compute layout when the victim
+        # supports it ('auto'; True forces, False disables). Exactly the
+        # standard trajectory under a fixed column permutation
+        # (tests/test_blocked_pipeline.py) but ~5% faster on TPU — the
+        # input-gradient exits the backward already in the D-matmul layout
+        # (BENCHMARKS.md round 2). Artifacts/inference always see the
+        # standard (K, H, W, C) presentation dictionary.
+        self.blocked = blocked
         from ..utils import MetricLogger
 
         self.metrics = MetricLogger(metrics_log)
@@ -219,6 +228,37 @@ class ADIL(Attack):
         prev = self.cache.load("ImageNet", model=self.model_name)
         return jnp.asarray(prev["d"]) if prev is not None else None
 
+    def _blocked_victim(self, image_shape):
+        """Blocked-input twin of the victim (same variables), or None.
+
+        Only models exposing a ``blocked_input`` field (the ResNets) and
+        even spatial dims qualify; anything else falls back to the
+        standard layout. See tests/test_blocked_pipeline.py for the
+        exact-equivalence proof obligations.
+        """
+        if not self.blocked:
+            return None
+        h, w = image_shape[0], image_shape[1]
+        if h % 2 or w % 2:
+            return None
+        module = self.victim.module
+        if not hasattr(module, "blocked_input"):
+            return None
+        from ..models import create_model
+
+        try:
+            return create_model(
+                self.victim.name,
+                num_classes=self.victim.num_classes,
+                dtype=module.dtype,
+                variables=self.victim.variables,
+                input_size=self.victim.input_size,
+                blocked_input=True,
+                fold_bn=getattr(module, "fold_bn", False),
+            )
+        except TypeError:
+            return None
+
     def _prepare(self, data_train, mode):
         ds = as_array_dataset(data_train)
         images = jnp.asarray(ds.images, jnp.float32)
@@ -247,7 +287,12 @@ class ADIL(Attack):
     # -- supports warm-starting from a finished dictionary, adil.py:139-143)
 
     def _train_ckpt_key(self):
-        return dict(model=self.model_name, kind="train_state")
+        # Blocked-layout runs checkpoint under their own kind: the stored
+        # flat d/moments are column-permuted, so resuming one into a
+        # standard-layout run (or vice versa) would silently scramble D.
+        kind = "train_state_s2d" if getattr(self, "_train_blocked", False) \
+            else "train_state"
+        return dict(model=self.model_name, kind=kind)
 
     def _save_train_state(self, state, key, loss_all, fooling_all):
         from flax import serialization
@@ -291,12 +336,27 @@ class ADIL(Attack):
     def _learn_gd(self, data_train, data_val):
         """Joint projected-AdamW over (D, v). Reference: adil.py:114-210."""
         ds, images, n, key, state = self._prepare(data_train, "gd")
-        labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
+        # Blocked-layout fast path: train in the s2d stem's compute layout
+        # (images space-to-depth'd, D columns permuted to match) when the
+        # victim supports it — exact trajectory equivalence proven in
+        # tests/test_blocked_pipeline.py; artifacts are unblocked below.
+        twin = self._blocked_victim(ds.image_shape)
+        self._train_blocked = twin is not None
+        if twin is not None:
+            from ..models.layers import space_to_depth
+
+            images = space_to_depth(images)
+            d_b = space_to_depth(core.d_image(state.d, ds.image_shape))
+            state = state.replace(d=d_b.reshape(state.d.shape))
+            apply_fn, variables = twin.apply_fn, twin.variables
+        else:
+            apply_fn, variables = self.victim.apply_fn, self.victim.variables
+        labels = core.predict_labels(apply_fn, variables, images)
         # Pre-sliced epochs: one whole-dataset gather per epoch, then a
         # gather-free scan — faster than both the in-scan-gather epoch and
         # per-step dispatch (BENCHMARKS.md round 2). Trajectory-identical to
         # make_epoch_fn on the same batches (tests/test_train_scan.py).
-        epoch_fn = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "both")
+        epoch_fn = core.make_epoch_fn_presliced(apply_fn, self.cfg, "both")
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
@@ -315,13 +375,15 @@ class ADIL(Attack):
             xs, labels_b, idx_b = core.preslice_epoch(images, labels, batches)
             with timer.step(), annotate("adil/epoch"):
                 state, loss, fooling = epoch_fn(
-                    state, self.victim.variables, xs, labels_b, idx_b
+                    state, variables, xs, labels_b, idx_b
                 )
                 jax.block_until_ready(loss)
             loss_all.append(float(loss) / n)
             fooling_all.append(float(fooling) / n)
             if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
-                val_fool = self._val_fooling(state.d, data_val)
+                val_fool = self._val_fooling(
+                    self._present_d(state.d, ds.image_shape), data_val
+                )
             self.metrics.log(it, loss=loss_all[-1], fooling=fooling_all[-1],
                              val_fooling=val_fool if val_fool is not None else float("nan"))
             if self.verbose:
@@ -333,11 +395,24 @@ class ADIL(Attack):
                 break
 
         self.timing = timer.summary()
-        self._save(core.d_image(state.d, ds.image_shape), state.v, {
+        self._save(self._present_d(state.d, ds.image_shape), state.v, {
             "loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool,
         })
         if self.checkpoint_every:
             self._clear_train_state()
+        self._train_blocked = False
+
+    def _present_d(self, d_flat: jax.Array, image_shape) -> jax.Array:
+        """Flat training dictionary -> presentation (K, H, W, C), undoing
+        the blocked column permutation when this run trains blocked."""
+        if getattr(self, "_train_blocked", False):
+            from ..models.layers import depth_to_space
+
+            h, w, c = image_shape
+            return depth_to_space(
+                core.d_image(d_flat, (h // 2, w // 2, 4 * c))
+            )
+        return core.d_image(d_flat, image_shape)
 
     def _learn_gd_streamed(self, data_train, data_val):
         """Joint projected-AdamW with host-streamed batches.

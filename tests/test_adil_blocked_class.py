@@ -1,0 +1,80 @@
+"""Class-level blocked-layout training: auto-dispatch + unblocked artifacts.
+
+`ADIL(blocked='auto')` trains ResNet victims in the s2d compute layout
+(see tests/test_blocked_pipeline.py for the core equivalence) but every
+user-visible surface — saved dictionary, inference, val fooling — stays in
+the standard (K, H, W, C) presentation. These tests pin the dispatch rules
+and the boundary conversions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.attacks import ADIL
+from dl_attack_on_imagenet_tpu.data import ArrayDataset
+from dl_attack_on_imagenet_tpu.models import create_model
+from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return create_model("resnet18", rng=jax.random.PRNGKey(0), input_size=32,
+                        stem_s2d=True)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    images = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (12, 32, 32, 3)))
+    return ArrayDataset(images, np.zeros((12,), np.int32))
+
+
+def _train(victim, dataset, tmp_path, tag, **kw):
+    atk = ADIL(victim, eps=8 / 255, steps=3, n_atoms=4, batch_size=6,
+               loss="ce", cache=ArtifactCache(str(tmp_path / tag)),
+               val_every=None, seed=0, **kw)
+    atk.learn_dictionary(dataset)
+    payload = atk.cache.load("ImageNet", model=atk.model_name)
+    return atk, payload
+
+
+def test_blocked_dispatch_rules(victim, dataset):
+    atk = ADIL(victim, n_atoms=4, blocked="auto")
+    assert atk._blocked_victim((32, 32, 3)) is not None
+    assert atk._blocked_victim((31, 32, 3)) is None  # odd spatial dim
+    atk_off = ADIL(victim, n_atoms=4, blocked=False)
+    assert atk_off._blocked_victim((32, 32, 3)) is None
+    tiny = create_model("tiny", rng=jax.random.PRNGKey(1))
+    atk_tiny = ADIL(tiny, n_atoms=4, blocked="auto")
+    assert atk_tiny._blocked_victim((32, 32, 3)) is None  # unsupported model
+
+
+def test_blocked_training_artifact_is_presentation_shape(
+    victim, dataset, tmp_path
+):
+    atk_b, pay_b = _train(victim, dataset, tmp_path, "blocked", blocked=True)
+    assert pay_b["d"].shape == (4, 32, 32, 3)
+    atk_s, pay_s = _train(victim, dataset, tmp_path, "std", blocked=False)
+    assert pay_s["d"].shape == (4, 32, 32, 3)
+
+    # Same seed, same batches: trajectories agree up to AdamW float-noise
+    # sign flips on near-zero gradients (see test_blocked_pipeline.py).
+    np.testing.assert_allclose(pay_b["loss"], pay_s["loss"], rtol=2e-3)
+    frac_off = np.mean(np.abs(pay_b["d"] - pay_s["d"]) > 1e-3)
+    assert frac_off < 0.05, f"{frac_off:.4f} of D differs by >1e-3"
+
+    # Inference consumes the saved dictionary through the STANDARD victim.
+    x = jnp.asarray(dataset.images[:4])
+    adv = atk_b(x, jnp.zeros((4,), jnp.int32))
+    assert adv.shape == x.shape
+    assert bool(jnp.all(adv >= 0)) and bool(jnp.all(adv <= 1))
+
+
+def test_blocked_checkpoint_kind_is_distinct(victim, dataset, tmp_path):
+    atk, _ = _train(victim, dataset, tmp_path, "ck", blocked=True,
+                    checkpoint_every=100)
+    atk._train_blocked = True
+    assert atk._train_ckpt_key()["kind"] == "train_state_s2d"
+    atk._train_blocked = False
+    assert atk._train_ckpt_key()["kind"] == "train_state"
