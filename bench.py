@@ -94,9 +94,10 @@ def main():
     jax.block_until_ready(state.d)
 
     SCAN_LEN = 30
-    scan = jax.jit(
-        core.make_train_scan(victim.apply_fn, cfg, "both", n_steps=SCAN_LEN)
-    )
+    # make_train_scan is already jitted with donate_argnums=(0,) — wrapping
+    # it in another jit would drop the state donation at the executed
+    # boundary and double-buffer D/v/AdamW moments.
+    scan = core.make_train_scan(victim.apply_fn, cfg, "both", n_steps=SCAN_LEN)
     state, losses, foolings = scan(state, victim.variables, images, labels, idx, mask)
     jax.block_until_ready(state.d)
 

@@ -184,8 +184,11 @@ class ADIL(Attack):
 
     # Keep the whole dataset resident in HBM (fastest: zero H2D inside the
     # epoch) unless it exceeds this budget, in which case batches stream
-    # from the host with a device-put lookahead.
-    RESIDENT_BYTES_LIMIT = 8 << 30
+    # from the host with a device-put lookahead. The pre-sliced epoch path
+    # materializes a second (shuffled) copy of the dataset per epoch, so
+    # the budget is half the old 8 GiB to keep peak usage on a 16 GB chip
+    # unchanged.
+    RESIDENT_BYTES_LIMIT = 4 << 30
 
     def _should_stream(self, data_train) -> bool:
         if self.stream is not None:
@@ -242,7 +245,12 @@ class ADIL(Attack):
         if h % 2 or w % 2:
             return None
         module = self.victim.module
-        if not hasattr(module, "blocked_input"):
+        # The twin shares the victim's variables, so the victim's parameter
+        # tree must already contain the S2DStem (stem_s2d or blocked_input)
+        # — a plain ConvBN-stem ResNet stores its stem under a different
+        # scope and would fail to apply.
+        if not (getattr(module, "stem_s2d", False)
+                or getattr(module, "blocked_input", False)):
             return None
         from ..models import create_model
 
@@ -255,6 +263,9 @@ class ADIL(Attack):
                 input_size=self.victim.input_size,
                 blocked_input=True,
                 fold_bn=getattr(module, "fold_bn", False),
+                normalize=self.victim.normalize,
+                mean=self.victim.mean,
+                std=self.victim.std,
             )
         except TypeError:
             return None

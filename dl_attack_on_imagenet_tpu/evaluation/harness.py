@@ -76,9 +76,18 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
             if getattr(attack, "is_trained", True) is False and hasattr(
                 attack, "learn_dictionary"
             ):
-                try:
+                # Arity probe up front (ADIL takes (data_train, data_val),
+                # ADILR takes (data_train) only) — catching TypeError around
+                # the call itself would mask a genuine TypeError raised
+                # mid-training and silently re-run the whole training.
+                import inspect
+
+                n_params = len(
+                    inspect.signature(attack.learn_dictionary).parameters
+                )
+                if n_params >= 2:
                     attack.learn_dictionary((np.asarray(xk), np.asarray(yk)), None)
-                except TypeError:  # ADILR signature: (data_train) only
+                else:
                     attack.learn_dictionary((np.asarray(xk), np.asarray(yk)))
             reps = -(-b // k)
             x_in = jnp.concatenate([xk] * reps)[:b]

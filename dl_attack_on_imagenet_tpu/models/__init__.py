@@ -66,6 +66,11 @@ class VictimModel:
     input_size: int
     num_classes: int
     apply_fn: Callable[[Any, jax.Array], jax.Array]
+    # Normalization actually baked into apply_fn — recorded so twins
+    # (e.g. ADIL._blocked_victim) can rebuild an equivalent wrapper.
+    normalize: bool = True
+    mean: Any = IMAGENET_MEAN
+    std: Any = IMAGENET_STD
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.apply_fn(self.variables, x)
@@ -142,6 +147,9 @@ def create_model(
         input_size=size,
         num_classes=module.num_classes,
         apply_fn=apply_fn,
+        normalize=norm,
+        mean=mean,
+        std=std,
     )
 
 

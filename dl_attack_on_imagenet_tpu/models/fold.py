@@ -24,10 +24,12 @@ _BN_EPS = 1e-5
 
 def _fold_pair(kernel: np.ndarray, bn_params: Dict, bn_stats: Dict,
                eps: float) -> Dict[str, np.ndarray]:
+    kernel = np.asarray(kernel)
+    dtype = kernel.dtype  # keep the checkpoint's kernel dtype post-fold
     s = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_stats["var"]) + eps)
     bias = np.asarray(bn_params["bias"]) - np.asarray(bn_stats["mean"]) * s
-    kernel = np.asarray(kernel) * s  # broadcast over the output-channel axis
-    return {"kernel": kernel.astype(np.asarray(kernel).dtype), "bias": bias}
+    # s broadcasts over the output-channel axis.
+    return {"kernel": (kernel * s).astype(dtype), "bias": bias}
 
 
 def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:

@@ -79,20 +79,6 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.fold_bn:
-            padding = self.padding
-            if padding == "TORCH":
-                padding = tuple((k // 2, k // 2) for k in self.kernel)
-            x = nn.Conv(
-                self.features,
-                self.kernel,
-                strides=self.strides,
-                padding=padding,
-                use_bias=True,
-                feature_group_count=self.groups,
-                dtype=self.dtype,
-            )(x)
-            return nn.relu(x) if self.relu else x
         # "TORCH" = torchvision's symmetric k//2 padding. Identical to XLA
         # "SAME" for stride-1 odd kernels, but NOT for strided convs (SAME
         # pads asymmetrically, e.g. (2,3) for a 7x7/s2 at 224 where torch
@@ -106,13 +92,15 @@ class ConvBN(nn.Module):
             self.kernel,
             strides=self.strides,
             padding=padding,
-            use_bias=self.use_bias,
+            # Folded mode: the BN's affine lands in the conv bias.
+            use_bias=True if self.fold_bn else self.use_bias,
             feature_group_count=self.groups,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=True, epsilon=self.bn_eps, dtype=self.dtype
-        )(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=True, epsilon=self.bn_eps, dtype=self.dtype
+            )(x)
         if self.relu:
             x = nn.relu(x)
         return x

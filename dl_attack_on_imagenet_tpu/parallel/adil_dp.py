@@ -215,7 +215,7 @@ def learn_dictionary_distributed(
     :199-205). With ``checkpoint_every`` > 0 and a ``cache``, the full
     training state is persisted every that-many epochs and restored on the
     next call (kill-and-resume reproduces the uninterrupted trajectory —
-    tested in test_parallel_features.py).
+    tests/test_checkpoint_resume.py::test_mesh_resume_matches_uninterrupted).
     """
     images_np, _ = dataset.as_arrays()
     n = images_np.shape[0]

@@ -71,6 +71,37 @@ def test_blocked_training_artifact_is_presentation_shape(
     assert bool(jnp.all(adv >= 0)) and bool(jnp.all(adv <= 1))
 
 
+def test_plain_resnet_victim_falls_back_to_standard(dataset, tmp_path):
+    """A ConvBN-stem ResNet (stem_s2d=False) has no S2DStem in its
+    parameter tree — blocked='auto' must NOT build a twin for it
+    (round-2 review finding: the twin crashed on apply)."""
+    plain = create_model("resnet18", rng=jax.random.PRNGKey(2), input_size=32)
+    atk = ADIL(plain, n_atoms=4, blocked="auto")
+    assert atk._blocked_victim((32, 32, 3)) is None
+    # End-to-end: training runs on the standard path without error.
+    atk2, payload = _train(plain, dataset, tmp_path, "plain")
+    assert payload["d"].shape == (4, 32, 32, 3)
+
+
+def test_blocked_twin_propagates_normalization(victim):
+    """The twin must reproduce the victim's normalization settings
+    (round-2 review finding: a normalize=False victim got a normalizing
+    twin, silently training against a different function)."""
+    raw = create_model("resnet18", rng=jax.random.PRNGKey(0), input_size=32,
+                       stem_s2d=True, normalize=False)
+    atk = ADIL(raw, n_atoms=4, blocked=True)
+    twin = atk._blocked_victim((32, 32, 3))
+    assert twin is not None and twin.normalize is False
+    from dl_attack_on_imagenet_tpu.models.layers import space_to_depth
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32, 3))
+    np.testing.assert_allclose(
+        np.asarray(raw.apply_fn(raw.variables, x)),
+        np.asarray(twin.apply_fn(twin.variables, space_to_depth(x))),
+        atol=2e-5,
+    )
+
+
 def test_blocked_checkpoint_kind_is_distinct(victim, dataset, tmp_path):
     atk, _ = _train(victim, dataset, tmp_path, "ck", blocked=True,
                     checkpoint_every=100)
