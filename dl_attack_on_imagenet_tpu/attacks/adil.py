@@ -630,8 +630,10 @@ class ADIL(Attack):
         """Alternating v-phase / d-phase. Reference: adil.py:212-332."""
         ds, images, n, key, state = self._prepare(data_train, "alter")
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
-        epoch_v = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "v")
-        epoch_d = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "d")
+        # Pre-sliced epochs, same as _learn_gd (one dataset gather per
+        # epoch, gather-free scan — tests/test_train_scan.py).
+        epoch_v = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "v")
+        epoch_d = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "d")
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
@@ -653,11 +655,17 @@ class ADIL(Attack):
                 for _ in range(self.cfg.steps_inner):
                     key, sub = jax.random.split(key)
                     batches = core.make_batches(sub, n, self.cfg.batch_size)
-                    state, loss_v, _ = epoch_v(state, self.victim.variables, images, labels, batches)
+                    state, loss_v, _ = epoch_v(
+                        state, self.victim.variables,
+                        *core.preslice_epoch(images, labels, batches),
+                    )
                 for _ in range(self.cfg.steps_inner):
                     key, sub = jax.random.split(key)
                     batches = core.make_batches(sub, n, self.cfg.batch_size)
-                    state, loss_d, fooling = epoch_d(state, self.victim.variables, images, labels, batches)
+                    state, loss_d, fooling = epoch_d(
+                        state, self.victim.variables,
+                        *core.preslice_epoch(images, labels, batches),
+                    )
                 jax.block_until_ready(loss_d)
             state = state.replace(epoch=jnp.asarray(it + 1, jnp.int32))
             loss_all.append(float(loss_d) / n)

@@ -110,6 +110,39 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
     return jax.jit(run)
 
 
+def make_uap_epoch_fn_presliced(apply_fn, cfg: "UAPPGD"):
+    """Serial epoch over pre-sliced batches — no in-scan gather.
+
+    Takes (xs, ys, idx_b) from :func:`adil_core.preslice_epoch`: the scan
+    slices actual batch tensors off the leading axis instead of gathering
+    rows from the resident dataset every step (the same win as ADiL's
+    pre-sliced epochs, tests/test_train_scan.py). Math identical to
+    :func:`make_uap_epoch_fn` on the same batches.
+    """
+    opt = cfg.make_optimizer()
+
+    @jax.jit
+    def run(e, opt_state, xs, ys, idx_b):
+        def body(carry, batch):
+            e, opt_state = carry
+            x, y, batch_idx = batch
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            (loss, fooling), g = jax.value_and_grad(
+                lambda e_: uap_loss(apply_fn, cfg._vars, e_, x, y, mask, cfg.beta),
+                has_aux=True,
+            )(e)
+            updates, opt_state = opt.update(g, opt_state, e)
+            e = project_uap(optax.apply_updates(e, updates), cfg.eps, cfg.norm)
+            return (e, opt_state), (loss, fooling)
+
+        (e, opt_state), (losses, fools) = jax.lax.scan(
+            body, (e, opt_state), (xs, ys, idx_b)
+        )
+        return e, opt_state, jnp.sum(losses), jnp.sum(fools)
+
+    return run
+
+
 @functools.lru_cache(maxsize=32)
 def _batch_fool_fn(apply_fn):
     """Per-victim jitted fooling counter (cached so per-epoch callers don't
@@ -200,7 +233,10 @@ class UAPPGD(Attack):
             labels = shard_rows(self.mesh, labels)
             e = jax.device_put(e, NamedSharding(self.mesh, P(None, None, None, None)))
 
-        epoch_fn = make_uap_epoch_fn(self.victim.apply_fn, self, self.mesh)
+        if self.mesh is None:
+            epoch_fn = make_uap_epoch_fn_presliced(self.victim.apply_fn, self)
+        else:
+            epoch_fn = make_uap_epoch_fn(self.victim.apply_fn, self, self.mesh)
 
         fooling_rate, loss_track = [], []
         val_images = None
@@ -216,9 +252,15 @@ class UAPPGD(Attack):
                     jnp.asarray(make_local_batches(sub, n, self.mesh.devices.size, self.batch_size)),
                     NamedSharding(self.mesh, P("data", None, None)),
                 )
+                e, opt_state, loss, fooling = epoch_fn(
+                    e, opt_state, images, labels, batches
+                )
             else:
+                from .adil_core import preslice_epoch
+
                 batches = make_batches(sub, n, self.batch_size)
-            e, opt_state, loss, fooling = epoch_fn(e, opt_state, images, labels, batches)
+                xs, ys, idx_b = preslice_epoch(images, labels, batches)
+                e, opt_state, loss, fooling = epoch_fn(e, opt_state, xs, ys, idx_b)
             loss_track.append(float(loss))
             if val_images is not None:
                 fooling_rate.append(

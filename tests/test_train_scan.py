@@ -61,6 +61,31 @@ def test_train_scan_matches_stepwise(victim, data):
     _tree_close((out_state.d, out_state.v), (ref_state.d, ref_state.v))
 
 
+def test_uap_presliced_epoch_matches_gather_epoch(victim, data):
+    from dl_attack_on_imagenet_tpu.attacks.uap_pgd import (
+        UAPPGD,
+        make_uap_epoch_fn,
+        make_uap_epoch_fn_presliced,
+    )
+
+    images, labels = data
+    uap = UAPPGD(victim, steps=1, batch_size=8, eps=0.05, norm="linf")
+    batches = core.make_batches(jax.random.PRNGKey(4), 20, 8)
+    e0 = jnp.zeros((1, 32, 32, 3))
+    opt0 = uap.make_optimizer().init(e0)
+
+    fn = make_uap_epoch_fn(victim.apply_fn, uap, None)
+    e_a, _, loss_a, fool_a = fn(e0, opt0, images, labels, batches)
+
+    fn_p = make_uap_epoch_fn_presliced(victim.apply_fn, uap)
+    xs, ys, idx_b = core.preslice_epoch(images, labels, batches)
+    e_b, _, loss_b, fool_b = fn_p(e0, opt0, xs, ys, idx_b)
+
+    np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b), atol=1e-6)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    assert float(fool_a) == float(fool_b)
+
+
 def test_presliced_epoch_matches_gather_epoch(victim, data):
     images, labels = data
     # 20 images, batch 8 -> 3 batches with 4 padded (-1) slots: exercises
