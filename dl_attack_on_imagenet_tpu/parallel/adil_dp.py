@@ -45,7 +45,9 @@ def make_dp_epoch_fn(apply_fn, cfg: AdilConfig, mesh: Mesh, axis: str = "data"):
     Signature: ``epoch(d, opt_d, v, opt_v, images, labels, batches, variables)
     -> (d, opt_d, v, opt_v, loss_sum, fooling_sum)`` where
 
-    - d: (K, H, W, C) replicated; v: (N, K) sharded on rows;
+    - d: flat (K, H*W*C) replicated — the matmul-native training layout
+      (AdilState.d rationale: one consistent XLA layout for the parameter,
+      its moments, and the D·v / D-grad matmuls); v: (N, K) sharded on rows;
     - images: (N, H, W, C) and clean labels (N,) sharded on rows;
     - batches: (n_dev, n_batches, B_local) int32 LOCAL row indices per
       device (-1 = padding), sharded on the device axis;
@@ -224,6 +226,7 @@ def learn_dictionary_distributed(
     kd, kv, key = jax.random.split(key, 3)
 
     d = core.init_dictionary(kd, dataset.image_shape, cfg) if d_init is None else jnp.asarray(d_init)
+    d = d.reshape(d.shape[0], -1)  # flat training layout (see make_dp_epoch_fn)
     n_local = -(-n // n_dev)
     n_pad = n_local * n_dev
     v = core.init_codes(kv, n_pad, cfg, mode="distributed")
@@ -248,7 +251,8 @@ def learn_dictionary_distributed(
     if checkpoint_every and cache is not None and resume:
         restored = _ckpt_restore(cache, ckpt_key, opt_d_state, opt_v_state)
         if restored is not None:
-            d = jax.device_put(restored["d"], NamedSharding(mesh, P(*([None] * d.ndim))))
+            d_r = restored["d"].reshape(d.shape)  # accept 4-D or flat ckpts
+            d = jax.device_put(d_r, NamedSharding(mesh, P(*([None] * d.ndim))))
             v = jax.device_put(restored["v"], NamedSharding(mesh, P(axis, None)))
             opt_d_state, opt_v_state = restored["opt_d"], restored["opt_v"]
             key = restored["rng"]
@@ -272,7 +276,8 @@ def learn_dictionary_distributed(
             val_images = jnp.asarray(data_val.images, jnp.float32)
             val_fool = float(
                 core.supervised_adamw_codes(
-                    victim.apply_fn, victim.variables, jnp.asarray(d),
+                    victim.apply_fn, victim.variables,
+                    core.d_image(jnp.asarray(d), dataset.image_shape),
                     val_images, cfg, return_fooling=True,
                 )
             ) / len(data_val)
@@ -288,4 +293,8 @@ def learn_dictionary_distributed(
     if checkpoint_every and cache is not None:
         cache.remove("ImageNet", **ckpt_key)
     history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
-    return jnp.asarray(d), jnp.asarray(v)[:n], history
+    return (
+        core.d_image(jnp.asarray(d), dataset.image_shape),  # presentation
+        jnp.asarray(v)[:n],
+        history,
+    )
