@@ -133,6 +133,18 @@ def main(only=()):
         dt = timed(lambda: epoch_fn(e0, opt0, xN, labN, batches)[0])
         record("uappgd_epoch_n256_b64", dt, "s/epoch (4 batches)",
                f"uappgd.py:70-107; {n/dt:.0f} img/s")
+        # Pre-sliced serial epoch (the production default since round 2);
+        # the per-epoch preslice gather is included in the timing.
+        from dl_attack_on_imagenet_tpu.attacks.uap_pgd import (
+            make_uap_epoch_fn_presliced,
+        )
+
+        fn_p = make_uap_epoch_fn_presliced(apply_fn, uap)
+        dt = timed(
+            lambda: fn_p(e0, opt0, *core.preslice_epoch(xN, labN, batches))[0]
+        )
+        record("uappgd_epoch_n256_b64_presliced", dt, "s/epoch (4 batches)",
+               f"gather-free scan; {n/dt:.0f} img/s")
 
     # --- DeepFool (batched lockstep)
     if want("deepfool"):

@@ -20,6 +20,7 @@ compiled TPU program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
@@ -76,13 +77,17 @@ def _targets(apply_fn, variables, images, labels, targeted: bool):
     return order[:, -2]
 
 
-def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedConfig,
-                 weights=None):
-    """coeff*CE_sum(model(x+Dv), targets) + 0.5*lambda_l2*||Dv||^2.
+def _smooth_loss_hp(apply_fn, variables, d, v, images, targets, lam2, coeff,
+                    weights=None):
+    """coeff*CE_sum(model(x+Dv), targets) + 0.5*lam2*||Dv||^2.
 
-    Evaluated full-batch (images resident); the reference iterates a
-    DataLoader accumulating the same sum (adil_regularized.py:107-113).
-    ``weights`` (N,) masks padded rows out of both terms.
+    ``lam2``/``coeff`` are TRACED scalars so the jitted solvers below can be
+    reused across hyper-parameter values without recompiling (these solvers
+    are the framework's heaviest compiles, ~36 s each on the tunnel, and the
+    reference's primary workflow is a hyper grid sweep —
+    demo_dL_attack.py:88-94). Evaluated full-batch (images resident); the
+    reference iterates a DataLoader accumulating the same sum
+    (adil_regularized.py:107-113). ``weights`` (N,) masks padded rows.
     """
     dv = dict_apply(v, d)
     logits = apply_fn(variables, images + dv).astype(jnp.float32)
@@ -92,11 +97,27 @@ def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedCon
     if weights is not None:
         ce_per = ce_per * weights
         sq_per = sq_per * weights
-    return cfg.coeff * jnp.sum(ce_per) + 0.5 * cfg.lambda_l2 * jnp.sum(sq_per)
+    return coeff * jnp.sum(ce_per) + 0.5 * lam2 * jnp.sum(sq_per)
+
+
+def _smooth_loss(apply_fn, variables, d, v, images, targets, cfg: RegularizedConfig,
+                 weights=None):
+    return _smooth_loss_hp(apply_fn, variables, d, v, images, targets,
+                           cfg.lambda_l2, cfg.coeff, weights)
 
 
 def _l1(v, cfg):
     return cfg.lambda_l1 * jnp.sum(jnp.abs(v))
+
+
+def _hp(cfg: RegularizedConfig):
+    """The swept hyper scalars as traced f32 args (step, lam1, lam2, coeff)."""
+    return (
+        jnp.float32(cfg.step_size),
+        jnp.float32(cfg.lambda_l1),
+        jnp.float32(cfg.lambda_l2),
+        jnp.float32(cfg.coeff),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +144,6 @@ def adil_fb(
     """
     niter = int(niter if niter is not None else cfg.steps)
     n = images.shape[0]
-    delta, gamma, beta = 0.5, 1.0, 0.5
     learn_d = dictionary is None
 
     if learn_d:
@@ -133,101 +153,116 @@ def adil_fb(
     else:
         d0 = dictionary
     v0 = jnp.zeros((n, cfg.n_atoms))
+    run = _adil_fb_run(apply_fn, cfg.dict_set, learn_d, niter)
+    step0, lam1, lam2, coeff = _hp(cfg)
+    return run(variables, images, targets, d0, v0, step0, lam1, lam2, coeff)
 
-    def smooth(params):
-        return _smooth_loss(
-            apply_fn, variables, params["d"], params["v"], images, targets, cfg
-        )
 
-    grad_smooth = jax.grad(smooth)
+@functools.lru_cache(maxsize=None)
+def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
+    """Jitted FB-splitting solver; hyper scalars are traced args, so the
+    compile is shared across calls AND across a hyper grid sweep."""
 
-    def full(params):
-        return smooth(params) + _l1(params["v"], cfg)
+    @jax.jit
+    def run(variables, images, targets, d0, v0, step_size0, lam1, lam2, coeff):
+        delta, gamma, beta = 0.5, 1.0, 0.5
 
-    def prox_step(params, grads, step):
-        v_new = soft_threshold(
-            params["v"] - step * grads["v"], step * cfg.lambda_l1
-        )
-        if learn_d:
-            d_new = project_atoms(params["d"] - step * grads["d"], cfg.dict_set)
-        else:
-            d_new = params["d"]
-        return {"d": d_new, "v": v_new}
+        def smooth(params):
+            return _smooth_loss_hp(apply_fn, variables, params["d"],
+                                   params["v"], images, targets, lam2, coeff)
 
-    def norm2(tree):
-        return sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
+        grad_smooth = jax.grad(smooth)
 
-    lipschitz0 = 0.9 / cfg.step_size
+        def l1(v):
+            return lam1 * jnp.sum(jnp.abs(v))
 
-    def outer_cond(carry):
-        it, flag_stop = carry[0], carry[1]
-        return jnp.logical_and(it < niter, jnp.logical_not(flag_stop))
+        def full(params):
+            return smooth(params) + l1(params["v"])
 
-    def outer_body(carry):
-        (it, _, params, params_old, grads_old, loss_ns_old, lip, track) = carry
-        grads = grad_smooth(params)
-        loss_old = full(params)
-        loss_ns_cur = _l1(params["v"], cfg)
+        def prox_step(params, grads, step):
+            v_new = soft_threshold(params["v"] - step * grads["v"], step * lam1)
+            if learn_d:
+                d_new = project_atoms(params["d"] - step * grads["d"], dict_set)
+            else:
+                d_new = params["d"]
+            return {"d": d_new, "v": v_new}
 
-        # Lipschitz guess from successive gradients (:127-130).
-        diff_g = jax.tree_util.tree_map(lambda a, b: a - b, grads, grads_old)
-        diff_x = jax.tree_util.tree_map(lambda a, b: a - b, params, params_old)
-        lip_est = jnp.sqrt(norm2(diff_g)) / jnp.sqrt(norm2(diff_x) + 1e-24)
-        lip = jnp.where(it > 1, lip_est, lip)
-        step = 0.9 / jnp.maximum(lip, 1e-12)
+        def norm2(tree):
+            return sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
 
-        new = prox_step(params, grads, step)
-        direction = jax.tree_util.tree_map(lambda a, b: a - b, new, params)
-        loss_ns_new = _l1(new["v"], cfg)
-        h = (
-            sum(jnp.sum((new[k] - params[k]) * grads[k]) for k in ("d", "v"))
-            + 0.5 * (gamma / step) * norm2(direction)
-            + loss_ns_new
-            - loss_ns_old
-        )
+        def outer_cond(carry):
+            it, flag_stop = carry[0], carry[1]
+            return jnp.logical_and(it < niter, jnp.logical_not(flag_stop))
 
-        def ls_cond(ls):
-            i, accepted, stop, *_ = ls
-            return jnp.logical_not(jnp.logical_or(accepted, stop))
+        def outer_body(carry):
+            (it, _, params, params_old, grads_old, loss_ns_old, lip, track) = carry
+            grads = grad_smooth(params)
+            loss_old = full(params)
 
-        def ls_body(ls):
-            i, _, _, _, _ = ls
-            scale = delta**i
-            cand = jax.tree_util.tree_map(
-                lambda p, dxt: p + scale * dxt, params, direction
+            # Lipschitz guess from successive gradients (:127-130).
+            diff_g = jax.tree_util.tree_map(lambda a, b: a - b, grads, grads_old)
+            diff_x = jax.tree_util.tree_map(lambda a, b: a - b, params, params_old)
+            lip_est = jnp.sqrt(norm2(diff_g)) / jnp.sqrt(norm2(diff_x) + 1e-24)
+            lip = jnp.where(it > 1, lip_est, lip)
+            step = 0.9 / jnp.maximum(lip, 1e-12)
+
+            new = prox_step(params, grads, step)
+            direction = jax.tree_util.tree_map(lambda a, b: a - b, new, params)
+            loss_ns_new = l1(new["v"])
+            h = (
+                sum(jnp.sum((new[k] - params[k]) * grads[k]) for k in ("d", "v"))
+                + 0.5 * (gamma / step) * norm2(direction)
+                + loss_ns_new
+                - loss_ns_old
             )
-            loss_c = full(cand)
-            crit = loss_old + beta * scale * h
-            accepted = loss_c <= crit
-            stop = i + 1 > 50
-            return (i + 1, accepted, stop, cand, loss_c)
 
-        _, accepted, flag_stop, cand, loss_c = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.zeros((), jnp.int32), jnp.array(False), jnp.array(False), new, full(new))
-        )
-        params_next = jax.tree_util.tree_map(
-            lambda c, p: jnp.where(accepted, c, p), cand, params
-        )
-        loss_ns_next = jnp.where(accepted, _l1(params_next["v"], cfg), loss_ns_old)
-        track = track.at[it].set(jnp.where(accepted, loss_c, loss_old))
-        return (it + 1, flag_stop, params_next, params, grads, loss_ns_next, lip, track)
+            def ls_cond(ls):
+                i, accepted, stop, *_ = ls
+                return jnp.logical_not(jnp.logical_or(accepted, stop))
 
-    params0 = {"d": d0, "v": v0}
-    zeros_like_p = jax.tree_util.tree_map(jnp.zeros_like, params0)
-    track0 = jnp.full((niter,), jnp.nan)
-    carry = (
-        jnp.zeros((), jnp.int32),
-        jnp.array(False),
-        params0,
-        zeros_like_p,
-        zeros_like_p,
-        jnp.zeros(()),
-        jnp.asarray(lipschitz0),
-        track0,
-    )
-    carry = jax.lax.while_loop(outer_cond, outer_body, carry)
-    params, track = carry[2], carry[7]
-    return params["d"], params["v"], track
+            def ls_body(ls):
+                i, _, _, _, _ = ls
+                scale = delta**i
+                cand = jax.tree_util.tree_map(
+                    lambda p, dxt: p + scale * dxt, params, direction
+                )
+                loss_c = full(cand)
+                crit = loss_old + beta * scale * h
+                accepted = loss_c <= crit
+                stop = i + 1 > 50
+                return (i + 1, accepted, stop, cand, loss_c)
+
+            _, accepted, flag_stop, cand, loss_c = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.zeros((), jnp.int32), jnp.array(False), jnp.array(False),
+                 new, full(new)),
+            )
+            params_next = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(accepted, c, p), cand, params
+            )
+            loss_ns_next = jnp.where(accepted, l1(params_next["v"]), loss_ns_old)
+            track = track.at[it].set(jnp.where(accepted, loss_c, loss_old))
+            return (it + 1, flag_stop, params_next, params, grads,
+                    loss_ns_next, lip, track)
+
+        params0 = {"d": d0, "v": v0}
+        zeros_like_p = jax.tree_util.tree_map(jnp.zeros_like, params0)
+        track0 = jnp.full((niter,), jnp.nan)
+        carry = (
+            jnp.zeros((), jnp.int32),
+            jnp.array(False),
+            params0,
+            zeros_like_p,
+            zeros_like_p,
+            jnp.zeros(()),
+            0.9 / step_size0,
+            track0,
+        )
+        carry = jax.lax.while_loop(outer_cond, outer_body, carry)
+        params, track = carry[2], carry[7]
+        return params["d"], params["v"], track
+
+    return run
 
 
 def _pad_for_batching(images, targets, bsz):
@@ -276,12 +311,33 @@ def sadil(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
     )
     v = jnp.zeros((images.shape[0], cfg.n_atoms))
+    epoch, full_loss = _sadil_fns(apply_fn, bsz, cfg.dict_set)
+    step, lam1, lam2, coeff = _hp(cfg)
 
-    def batch_smooth(d_, v_rows, x, t, w):
-        return _smooth_loss(apply_fn, variables, d_, v_rows, x, t, cfg, w)
+    losses = [float(full_loss(variables, images, targets, weights, d, v,
+                              lam1, lam2, coeff))]
+    for _ in range(nepochs):
+        d, v = epoch(variables, images, targets, weights, d, v,
+                     step, lam1, lam2, coeff)
+        losses.append(float(full_loss(variables, images, targets, weights,
+                                      d, v, lam1, lam2, coeff)))
+        if abs(losses[-1] - losses[-2]) < tol:
+            break
+    return d, v[:n], losses
+
+
+@functools.lru_cache(maxsize=None)
+def _sadil_fns(apply_fn, bsz: int, dict_set: str):
+    """Jitted (epoch, full_loss) for sadil; hypers traced, compile shared."""
 
     @jax.jit
-    def epoch(d, v):
+    def epoch(variables, images, targets, weights, d, v, step, lam1, lam2, coeff):
+        n_batches = images.shape[0] // bsz
+
+        def batch_smooth(d_, v_rows, x, t, w):
+            return _smooth_loss_hp(apply_fn, variables, d_, v_rows, x, t,
+                                   lam2, coeff, w)
+
         def body(carry, b):
             d, v = carry
             sl = b * bsz
@@ -291,12 +347,10 @@ def sadil(
             v_rows = jax.lax.dynamic_slice_in_dim(v, sl, bsz)
             # D-step
             g_d = jax.grad(lambda d_: batch_smooth(d_, v_rows, x, t, w))(d)
-            d = project_atoms(d - cfg.step_size * g_d, cfg.dict_set)
+            d = project_atoms(d - step * g_d, dict_set)
             # v-step
             g_v = jax.grad(lambda vr: batch_smooth(d, vr, x, t, w))(v_rows)
-            v_rows = soft_threshold(
-                v_rows - cfg.step_size * g_v, cfg.step_size * cfg.lambda_l1
-            )
+            v_rows = soft_threshold(v_rows - step * g_v, step * lam1)
             v = jax.lax.dynamic_update_slice_in_dim(v, v_rows, sl, axis=0)
             return (d, v), None
 
@@ -304,17 +358,11 @@ def sadil(
         return d, v
 
     @jax.jit
-    def full_loss(d, v):
-        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg,
-                            weights) + _l1(v, cfg)
+    def full_loss(variables, images, targets, weights, d, v, lam1, lam2, coeff):
+        return _smooth_loss_hp(apply_fn, variables, d, v, images, targets,
+                               lam2, coeff, weights) + lam1 * jnp.sum(jnp.abs(v))
 
-    losses = [float(full_loss(d, v))]
-    for _ in range(nepochs):
-        d, v = epoch(d, v)
-        losses.append(float(full_loss(d, v)))
-        if abs(losses[-1] - losses[-2]) < tol:
-            break
-    return d, v[:n], losses
+    return epoch, full_loss
 
 
 def sadil_updated(
@@ -342,7 +390,7 @@ def sadil_updated(
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
     images, targets, weights, n_batches = _pad_for_batching(images, targets, bsz)
-    delta, beta = 0.5, 0.5
+    delta = 0.5
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
@@ -350,14 +398,42 @@ def sadil_updated(
     v = jnp.zeros((images.shape[0], cfg.n_atoms))
     step_v = jnp.asarray(cfg.step_size)
     step_d = jnp.asarray(cfg.step_size)
+    epoch, d_update, full_loss = _sadil_updated_fns(apply_fn, bsz, cfg.dict_set)
+    _, lam1, lam2, coeff = _hp(cfg)
 
-    def batch_smooth(d_, v_rows, x, t, w):
-        return _smooth_loss(apply_fn, variables, d_, v_rows, x, t, cfg, w)
+    losses = [float(full_loss(variables, images, targets, weights, d, v,
+                              lam1, lam2, coeff))]
+    for _ in range(nepochs):
+        v, i_max, g_d = epoch(variables, images, targets, weights, d, v,
+                              step_v, lam1, lam2, coeff)
+        step_v = jnp.maximum(step_v * delta ** i_max, 1e-5)
+        if float(jnp.max(jnp.abs(g_d))) >= 1e-4:
+            d, step_d, loss_now = d_update(variables, images, targets, weights,
+                                           d, v, g_d, step_d, lam1, lam2, coeff)
+            losses.append(float(loss_now))
+        else:
+            losses.append(losses[-1])
+        if abs(losses[-1] - losses[-2]) < tol:
+            break
+    return d, v[:n], losses
+
+
+@functools.lru_cache(maxsize=None)
+def _sadil_updated_fns(apply_fn, bsz: int, dict_set: str):
+    """Jitted (epoch, d_update, full_loss) for sadil_updated; hypers traced,
+    compile shared across calls and the hyper grid."""
+    delta, beta = 0.5, 0.5
 
     @jax.jit
-    def epoch(d, v, step_v):
+    def epoch(variables, images, targets, weights, d, v, step_v,
+              lam1, lam2, coeff):
         """v-pass over all batches + accumulated D gradient. Returns the
         number of halvings the worst batch needed (i_max) to shrink step_v."""
+        n_batches = images.shape[0] // bsz
+
+        def batch_smooth(d_, v_rows, x, t, w):
+            return _smooth_loss_hp(apply_fn, variables, d_, v_rows, x, t,
+                                   lam2, coeff, w)
 
         def body(carry, b):
             v, i_max, g_d_acc = carry
@@ -370,14 +446,14 @@ def sadil_updated(
             loss_old, g_v = jax.value_and_grad(
                 lambda vr: batch_smooth(d, vr, x, t, w)
             )(v_rows)
-            loss_old = loss_old + cfg.lambda_l1 * jnp.sum(jnp.abs(v_rows))
-            v_new = soft_threshold(v_rows - step_v * g_v, step_v * cfg.lambda_l1)
+            loss_old = loss_old + lam1 * jnp.sum(jnp.abs(v_rows))
+            v_new = soft_threshold(v_rows - step_v * g_v, step_v * lam1)
 
-            loss_cur = batch_smooth(d, v_new, x, t, w) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_new))
+            loss_cur = batch_smooth(d, v_new, x, t, w) + lam1 * jnp.sum(jnp.abs(v_new))
             dh = (
                 jnp.sum(g_v * (v_new - v_rows))
                 + 0.5 / step_v * jnp.sum((v_new - v_rows) ** 2)
-                + cfg.lambda_l1 * (jnp.sum(jnp.abs(v_new)) - jnp.sum(jnp.abs(v_rows)))
+                + lam1 * (jnp.sum(jnp.abs(v_new)) - jnp.sum(jnp.abs(v_rows)))
             )
 
             # Count halvings needed for sufficient decrease (bounded at 5);
@@ -390,7 +466,7 @@ def sadil_updated(
                 i, _, dh_c = ls
                 i = i + 1
                 v_try = (delta**i) * v_new + (1 - delta**i) * v_rows
-                loss_c = batch_smooth(d, v_try, x, t, w) + cfg.lambda_l1 * jnp.sum(jnp.abs(v_try))
+                loss_c = batch_smooth(d, v_try, x, t, w) + lam1 * jnp.sum(jnp.abs(v_try))
                 return (i, loss_c, dh_c * delta)
 
             i_fin, _, _ = jax.lax.while_loop(
@@ -402,20 +478,27 @@ def sadil_updated(
             return (v, jnp.maximum(i_max, i_fin), g_d_acc + g_d), None
 
         (v, i_max, g_d), _ = jax.lax.scan(
-            body, (v, jnp.zeros((), jnp.int32), jnp.zeros_like(d)), jnp.arange(n_batches)
+            body, (v, jnp.zeros((), jnp.int32), jnp.zeros_like(d)),
+            jnp.arange(n_batches),
         )
         return v, i_max, g_d
 
-    @jax.jit
-    def full_loss(d, v):
-        return _smooth_loss(apply_fn, variables, d, v, images, targets, cfg,
-                            weights) + _l1(v, cfg)
+    def _full(variables, images, targets, weights, d, v, lam1, lam2, coeff):
+        return _smooth_loss_hp(apply_fn, variables, d, v, images, targets,
+                               lam2, coeff, weights) + lam1 * jnp.sum(jnp.abs(v))
+
+    full_loss = jax.jit(_full)
 
     @jax.jit
-    def d_update(d, v, g_d, step_d):
-        loss_old = full_loss(d, v)
-        d_new = project_atoms(d - step_d * g_d, cfg.dict_set)
-        loss_cur = full_loss(d_new, v)
+    def d_update(variables, images, targets, weights, d, v, g_d, step_d,
+                 lam1, lam2, coeff):
+        def fl(d_):
+            return _full(variables, images, targets, weights, d_, v,
+                         lam1, lam2, coeff)
+
+        loss_old = fl(d)
+        d_new = project_atoms(d - step_d * g_d, dict_set)
+        loss_cur = fl(d_new)
         dh = jnp.sum(g_d * (d_new - d)) + 0.5 / step_d * jnp.sum((d_new - d) ** 2)
 
         def ls_cond(ls):
@@ -426,7 +509,7 @@ def sadil_updated(
             i, _, dh_c = ls
             i = i + 1
             d_try = (delta**i) * d_new + (1 - delta**i) * d
-            return (i, full_loss(d_try, v), dh_c * delta)
+            return (i, fl(d_try), dh_c * delta)
 
         i_fin, loss_fin, _ = jax.lax.while_loop(
             ls_cond, ls_body, (jnp.zeros((), jnp.int32), loss_cur, dh)
@@ -435,18 +518,7 @@ def sadil_updated(
         step_d = jnp.maximum(step_d * delta**i_fin, 1e-6)
         return d_new, step_d, jnp.where(i_fin > 0, loss_fin, loss_cur)
 
-    losses = [float(full_loss(d, v))]
-    for _ in range(nepochs):
-        v, i_max, g_d = epoch(d, v, step_v)
-        step_v = jnp.maximum(step_v * delta ** i_max, 1e-5)
-        if float(jnp.max(jnp.abs(g_d))) >= 1e-4:
-            d, step_d, loss_now = d_update(d, v, g_d, step_d)
-            losses.append(float(loss_now))
-        else:
-            losses.append(losses[-1])
-        if abs(losses[-1] - losses[-2]) < tol:
-            break
-    return d, v[:n], losses
+    return epoch, d_update, full_loss
 
 
 # ---------------------------------------------------------------------------
@@ -473,74 +545,94 @@ def learn_coding_vectors(
     Reference: adil_regularized.py:508-628 (step_size default 100 comes from
     the forward_supervised call site, :990-993).
     """
-    n = images.shape[0]
-    delta, gamma, beta = 0.9, 1.0, 0.5
+    run = _lcv_run(apply_fn, int(niter))
+    _, lam1, lam2, coeff = _hp(cfg)
+    return run(variables, d, images, targets,
+               jnp.asarray(step_size, jnp.float32), jnp.float32(tol),
+               lam1, lam2, coeff)
 
-    def smooth(v):
-        dv = dict_apply(v, d)
-        logits = apply_fn(variables, images + dv).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
-        return cfg.coeff * ce + 0.5 * cfg.lambda_l2 * jnp.sum(dv**2)
 
-    def full(v):
-        return smooth(v) + _l1(v, cfg)
+@functools.lru_cache(maxsize=None)
+def _lcv_run(apply_fn, niter: int):
+    """Jitted learn_coding_vectors solver, shared across ADILR instances,
+    calls, and hyper values (hypers traced)."""
 
-    grad_fn = jax.grad(smooth)
+    @jax.jit
+    def run(variables, d, images, targets, step_size, tol, lam1, lam2, coeff):
+        n = images.shape[0]
+        delta, gamma, beta = 0.9, 1.0, 0.5
 
-    def cond(carry):
-        it, stop = carry[0], carry[1]
-        return jnp.logical_and(it < niter, jnp.logical_not(stop))
+        def smooth(v):
+            dv = dict_apply(v, d)
+            logits = apply_fn(variables, images + dv).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
+            return coeff * ce + 0.5 * lam2 * jnp.sum(dv**2)
 
-    def body(carry):
-        it, _, v, step, loss_prev = carry
-        loss_old = full(v)
-        g = grad_fn(v)
-        v_new = soft_threshold(v - step * g, step * cfg.lambda_l1)
-        dvv = v_new - v
-        h = (
-            jnp.sum(dvv * g)
-            + 0.5 * (gamma / step) * jnp.sum(dvv**2)
-            + _l1(v_new, cfg)
-            - _l1(v, cfg)
+        def l1(v):
+            return lam1 * jnp.sum(jnp.abs(v))
+
+        def full(v):
+            return smooth(v) + l1(v)
+
+        grad_fn = jax.grad(smooth)
+
+        def cond(carry):
+            it, stop = carry[0], carry[1]
+            return jnp.logical_and(it < niter, jnp.logical_not(stop))
+
+        def body(carry):
+            it, _, v, step, loss_prev = carry
+            loss_old = full(v)
+            g = grad_fn(v)
+            v_new = soft_threshold(v - step * g, step * lam1)
+            dvv = v_new - v
+            h = (
+                jnp.sum(dvv * g)
+                + 0.5 * (gamma / step) * jnp.sum(dvv**2)
+                + l1(v_new)
+                - l1(v)
+            )
+            loss_cur0 = full(v_new)
+
+            def ls_cond(ls):
+                i, accepted, _, _ = ls
+                return jnp.logical_and(jnp.logical_not(accepted), i <= 10)
+
+            def ls_body(ls):
+                i, _, _, _ = ls
+                scale = delta**i
+                v_try = v + scale * dvv
+                loss_c = full(v_try)
+                crit = loss_old + beta * scale * h
+                return (i + 1, loss_c <= crit, v_try, loss_c)
+
+            i_fin, accepted, v_try, loss_try = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.zeros((), jnp.int32), jnp.array(False), v_new, loss_cur0),
+            )
+            # Accept the damped iterate only if it also beats the full step;
+            # shrink the step size accordingly (:600-610). On search
+            # exhaustion keep the full step (:613-616).
+            use_damped = accepted & (loss_cur0 > loss_try)
+            v_next = jnp.where(use_damped, v_try, v_new)
+            step = jnp.where(use_damped, step * delta ** (i_fin - 1), step)
+            loss_next = jnp.where(use_damped, loss_try, loss_cur0)
+            stop = (loss_prev - loss_next) < tol
+            return (it + 1, stop, v_next, step, loss_next)
+
+        v0 = jnp.zeros((n, d.shape[0]))
+        carry = (
+            jnp.zeros((), jnp.int32),
+            jnp.array(False),
+            v0,
+            step_size,
+            jnp.asarray(jnp.inf, jnp.float32),
         )
-        loss_cur0 = full(v_new)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[2]
 
-        def ls_cond(ls):
-            i, accepted, _, _ = ls
-            return jnp.logical_and(jnp.logical_not(accepted), i <= 10)
-
-        def ls_body(ls):
-            i, _, _, _ = ls
-            scale = delta**i
-            v_try = v + scale * dvv
-            loss_c = full(v_try)
-            crit = loss_old + beta * scale * h
-            return (i + 1, loss_c <= crit, v_try, loss_c)
-
-        i_fin, accepted, v_try, loss_try = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.zeros((), jnp.int32), jnp.array(False), v_new, loss_cur0)
-        )
-        # Accept the damped iterate only if it also beats the full step;
-        # shrink the step size accordingly (:600-610). On search exhaustion
-        # keep the full step (:613-616).
-        use_damped = accepted & (loss_cur0 > loss_try)
-        v_next = jnp.where(use_damped, v_try, v_new)
-        step = jnp.where(use_damped, step * delta ** (i_fin - 1), step)
-        loss_next = jnp.where(use_damped, loss_try, loss_cur0)
-        stop = (loss_prev - loss_next) < tol
-        return (it + 1, stop, v_next, step, loss_next)
-
-    v0 = jnp.zeros((n, cfg.n_atoms))
-    carry = (
-        jnp.zeros((), jnp.int32),
-        jnp.array(False),
-        v0,
-        jnp.asarray(step_size, jnp.float32),
-        jnp.asarray(jnp.inf, jnp.float32),
-    )
-    carry = jax.lax.while_loop(cond, body, carry)
-    return carry[2]
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -597,11 +689,10 @@ class ADILR(Attack):
         self.scale: Optional[dict] = None
         self._rng_calls = 0
 
-        # Artifact key mirrors the reference's hyper-mangled filename
-        # (adil_regularized.py:683-686), including the param_or_train tag.
-        # Shape-cached jitted inference solver (avoids retracing the
-        # line-search while_loops every forward call).
-        self._codes_fn = jax.jit(
+        # learn_coding_vectors is jitted through a module-level cache keyed
+        # on (apply_fn, niter) with hypers traced — one compile serves every
+        # ADILR instance, forward call, and hyper combo.
+        self._codes_fn = (
             lambda variables, d, images, targets: learn_coding_vectors(
                 victim.apply_fn, variables, d, images, targets, self.cfg
             )
