@@ -635,6 +635,47 @@ def _lcv_run(apply_fn, niter: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _best_of_trials_run(apply_fn, trials: int):
+    """Jitted Laplace best-of-trials inference (adil_regularized.py:817-978).
+
+    ``loc``/``scale`` arrive pre-broadcast to (N, K), so one compile serves
+    all four conditioning modes, every ADILR instance, and every call.
+    """
+
+    @jax.jit
+    def run(variables, d, images, loc, scale, key):
+        pre = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+        n = images.shape[0]
+
+        def trial(carry, k):
+            fooled, mse_fool, mse_nofool, best = carry
+            v = laplace_sample(k, loc, scale, loc.shape)
+            adv = clamp_image(images + dict_apply(v, d))
+            lab = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
+            fooling = lab != pre
+            mse = jnp.sum((images - adv) ** 2, axis=(1, 2, 3))
+            take_fool = fooling & (mse < mse_fool)
+            take_nofool = (~fooled) & (~fooling) & (mse < mse_nofool)
+            take = take_fool | take_nofool
+            mse_fool = jnp.where(take_fool, mse, mse_fool)
+            mse_nofool = jnp.where(take_nofool, mse, mse_nofool)
+            best = jnp.where(take[:, None, None, None], adv, best)
+            return (fooled | fooling, mse_fool, mse_nofool, best), None
+
+        init = (
+            jnp.zeros((n,), jnp.bool_),
+            jnp.full((n,), jnp.inf),
+            jnp.full((n,), jnp.inf),
+            jnp.zeros_like(images),
+        )
+        keys = jax.random.split(key, trials)
+        (_, _, _, best), _ = jax.lax.scan(trial, init, keys)
+        return best
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # ADILR attack class (:635-1033)
 # ---------------------------------------------------------------------------
@@ -791,64 +832,37 @@ class ADILR(Attack):
             self.dictionary = jnp.asarray(payload["d"])
         return self.dictionary
 
-    def _best_of_trials(self, images, sample_fn, key):
+    def _best_of_trials(self, images, loc, scale, key):
         """Shared best-of-trials loop over Laplace draws (the masked-update
-        vectorization of adil_regularized.py:846-868 etc.)."""
+        vectorization of adil_regularized.py:846-868 etc.).
+
+        ``loc``/``scale`` are pre-broadcast to (N, K), which lets ONE jitted
+        program (module-level cache, hypers traced) serve all four
+        conditioning modes and every forward call — the scan used to be
+        re-traced per call, costing ~10× the underlying forward passes.
+        """
         d = self._load_dictionary()
-        apply_fn, variables = self.victim.apply_fn, self.victim.variables
-        pre = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
+        run = _best_of_trials_run(self.victim.apply_fn, self.cfg.trials)
         n = images.shape[0]
-
-        def trial(carry, k):
-            fooled, mse_fool, mse_nofool, best = carry
-            v = sample_fn(k)
-            adv = clamp_image(images + dict_apply(v, d))
-            lab = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
-            fooling = lab != pre
-            mse = jnp.sum((images - adv) ** 2, axis=(1, 2, 3))
-            take_fool = fooling & (mse < mse_fool)
-            take_nofool = (~fooled) & (~fooling) & (mse < mse_nofool)
-            take = take_fool | take_nofool
-            mse_fool = jnp.where(take_fool, mse, mse_fool)
-            mse_nofool = jnp.where(take_nofool, mse, mse_nofool)
-            best = jnp.where(take[:, None, None, None], adv, best)
-            return (fooled | fooling, mse_fool, mse_nofool, best), None
-
-        init = (
-            jnp.zeros((n,), jnp.bool_),
-            jnp.full((n,), jnp.inf),
-            jnp.full((n,), jnp.inf),
-            jnp.zeros_like(images),
-        )
-        keys = jax.random.split(key, self.cfg.trials)
-        (_, _, _, best), _ = jax.lax.scan(trial, init, keys)
-        return best
+        loc = jnp.broadcast_to(jnp.asarray(loc, jnp.float32), (n, self.cfg.n_atoms))
+        scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n, self.cfg.n_atoms))
+        return run(self.victim.variables, d, images, loc, scale, key)
 
     def forward_unsupervised(self, images, key):
         """conditioned='none': scalar Laplace (adil_regularized.py:931-978)."""
-        n = images.shape[0]
-        loc, scale = self.mean["none"], self.scale["none"]
         return self._best_of_trials(
-            images,
-            lambda k: laplace_sample(k, loc, scale, (n, self.cfg.n_atoms)),
-            key,
+            images, self.mean["none"], self.scale["none"], key
         )
 
     def forward_unsupervised_conditioned_atoms(self, images, key):
         """conditioned='atoms': per-atom Laplace (adil_regularized.py:817-868)."""
-        n = images.shape[0]
-        loc = jnp.asarray(self.mean["atoms"])
-        scale = jnp.asarray(self.scale["atoms"])
-        return self._best_of_trials(
-            images,
-            lambda k: laplace_sample(k, loc[None, :], scale[None, :], (n, self.cfg.n_atoms)),
-            key,
-        )
+        loc = jnp.asarray(self.mean["atoms"])[None, :]
+        scale = jnp.asarray(self.scale["atoms"])[None, :]
+        return self._best_of_trials(images, loc, scale, key)
 
     def forward_unsupervised_conditioned_target_atoms(self, images, labels, key, version="labels"):
         """conditioned='labels_atoms'/'predictions_atoms': per-class per-atom
         Laplace (adil_regularized.py:870-929)."""
-        n = images.shape[0]
         mode = "labels_atoms" if version == "labels" else "predictions_atoms"
         if self.mean is None or mode not in self.mean:
             raise RuntimeError(f"Laplace fit for '{mode}' unavailable")
@@ -858,11 +872,7 @@ class ADILR(Attack):
             target = self.victim.predict(images)
         loc = jnp.asarray(self.mean[mode])[target]  # (N, K)
         scale = jnp.asarray(self.scale[mode])[target]
-        return self._best_of_trials(
-            images,
-            lambda k: laplace_sample(k, loc, scale, (n, self.cfg.n_atoms)),
-            key,
-        )
+        return self._best_of_trials(images, loc, scale, key)
 
     def forward_supervised(self, images, labels):
         """Optimize codes, clamp Dv to the budget, clip pixels

@@ -233,10 +233,13 @@ class UAPPGD(Attack):
             labels = shard_rows(self.mesh, labels)
             e = jax.device_put(e, NamedSharding(self.mesh, P(None, None, None, None)))
 
-        if self.mesh is None:
-            epoch_fn = make_uap_epoch_fn_presliced(self.victim.apply_fn, self)
-        else:
-            epoch_fn = make_uap_epoch_fn(self.victim.apply_fn, self, self.mesh)
+        # Serial path keeps the in-scan-gather epoch: measured FASTER than
+        # pre-sliced for UAP (83.9 vs 95.3 ms/epoch, n256 b64 ResNet-50 on
+        # v5e) — a shared-perturbation attack re-reads the images but has no
+        # per-image state, so the preslice materialization is pure overhead
+        # (unlike ADiL, where per-image codes make preslice win; see
+        # BENCHMARKS.md round 2).
+        epoch_fn = make_uap_epoch_fn(self.victim.apply_fn, self, self.mesh)
 
         fooling_rate, loss_track = [], []
         val_images = None
@@ -252,15 +255,11 @@ class UAPPGD(Attack):
                     jnp.asarray(make_local_batches(sub, n, self.mesh.devices.size, self.batch_size)),
                     NamedSharding(self.mesh, P("data", None, None)),
                 )
-                e, opt_state, loss, fooling = epoch_fn(
-                    e, opt_state, images, labels, batches
-                )
             else:
-                from .adil_core import preslice_epoch
-
                 batches = make_batches(sub, n, self.batch_size)
-                xs, ys, idx_b = preslice_epoch(images, labels, batches)
-                e, opt_state, loss, fooling = epoch_fn(e, opt_state, xs, ys, idx_b)
+            e, opt_state, loss, fooling = epoch_fn(
+                e, opt_state, images, labels, batches
+            )
             loss_track.append(float(loss))
             if val_images is not None:
                 fooling_rate.append(
