@@ -153,7 +153,12 @@ def shard_rows(mesh: Mesh, arr: jax.Array, axis: str = "data") -> jax.Array:
 
 def _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state, key,
                epoch, loss_all, fooling_all):
-    """Persist the full sharded training state (gathered to host)."""
+    """Persist the full sharded training state (gathered to host).
+
+    Single-controller meshes only: fetching the row-sharded v/opt_v assumes
+    every shard is addressable. On a multi-host (DCN) mesh use the orbax
+    ArtifactCache backend (sharding-aware) or checkpoint_every=0.
+    """
     from flax import serialization
 
     payload = {
@@ -231,9 +236,14 @@ def learn_dictionary_distributed(
     n_pad = n_local * n_dev
     v = core.init_codes(kv, n_pad, cfg, mode="distributed")
 
-    images = shard_rows(mesh, jnp.asarray(images_np, jnp.float32), axis)
-    labels = core.predict_labels(victim.apply_fn, victim.variables, images)
-    labels = jax.device_put(labels, NamedSharding(mesh, P(axis)))
+    # Clean labels are computed from the LOCAL full array before sharding:
+    # slicing a row-sharded global array is not addressable from a single
+    # controller on a multi-host (DCN) mesh. Every process computes the same
+    # labels (deterministic forward), then shards them alongside the images.
+    images_local = jnp.asarray(images_np, jnp.float32)
+    labels_local = core.predict_labels(victim.apply_fn, victim.variables, images_local)
+    images = shard_rows(mesh, images_local, axis)
+    labels = shard_rows(mesh, labels_local, axis)
     v = jax.device_put(v, NamedSharding(mesh, P(axis, None)))
     d = jax.device_put(d, NamedSharding(mesh, P(*([None] * d.ndim))))
 
@@ -293,8 +303,14 @@ def learn_dictionary_distributed(
     if checkpoint_every and cache is not None:
         cache.remove("ImageNet", **ckpt_key)
     history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
+    # Replicate the row-sharded v before fetching: on a multi-host mesh the
+    # sharded global array is not fully addressable from one controller
+    # (the all_gather analog of DDP's final state broadcast).
+    v_rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
+    )(v)
     return (
         core.d_image(jnp.asarray(d), dataset.image_shape),  # presentation
-        jnp.asarray(v)[:n],
+        jnp.asarray(v_rep)[:n],
         history,
     )
