@@ -86,27 +86,37 @@ def main(only=()):
     # --- ADILR stochastic: sadil_updated epochs (host-driven loop with
     # jitted per-batch solvers — cannot be wrapped in one jit: it reads
     # losses back for its stopping rule, adil_regularized.py:496-497).
-    # The per-call closures re-trace on every invocation, so the honest
-    # number is the MARGINAL epoch cost within one call (tol=0 disables
-    # the convergence break so the epoch counts are exact).
+    # tol=0 disables the convergence break so the epoch counts are exact.
     if want("adilr_sadil"):
+        import dataclasses as _dc2
+
         rcfg_b = RegularizedConfig(n_atoms=10, batch_size=16, steps=100)
 
-        def sd(nepochs):
+        def sd(nepochs, cfg=rcfg_b):
             t0 = time.perf_counter()
             d, v, losses = reg.sadil_updated(
-                apply_fn, variables, x16, targets16, rcfg_b, key,
+                apply_fn, variables, x16, targets16, cfg, key,
                 nepochs=nepochs, tol=0.0,
             )
             jax.block_until_ready(d)
             return time.perf_counter() - t0
 
         t_compile = sd(2)  # bears the actual compiles
-        t_short, t_long = sd(2), sd(10)  # both pay only re-trace overhead
+        t_short, t_long = sd(2), sd(10)
         dt = (t_long - t_short) / 8
         record("adilr_sadil_updated_epoch", dt, "s/epoch steady (n16, b16)",
-               f"adil_regularized.py:315-501; per-call re-trace {t_short:.1f}s, "
-               f"first-call compile {t_compile:.1f}s")
+               f"adil_regularized.py:315-501; first-call compile {t_compile:.1f}s, "
+               f"repeat-call overhead {t_short:.1f}s")
+        # Hyper sweep reuses the SAME compile: lambdas/steps are traced args
+        # (round 2; tests/test_adilr_compile_reuse.py). Each swept combo
+        # should cost ~the repeat-call time, not the first-call compile.
+        t_sweep = [
+            sd(2, _dc2.replace(rcfg_b, lambda_l1=l1_, lambda_l2=l2_, step_size=s_))
+            for (l1_, l2_, s_) in ((0.3, 0.05, 0.02), (0.02, 0.2, 0.005))
+        ]
+        record("adilr_sadil_updated_sweep_combo", max(t_sweep),
+               "s/extra hyper combo (2 epochs)",
+               f"compile shared across sweep (first call {t_compile:.1f}s)")
 
     # --- ADILR supervised inference: learn_coding_vectors
     if want("adilr_codes"):
@@ -168,16 +178,27 @@ def main(only=()):
     # --- ADiL inference modes (trained-dict attack path, adil.py:432-655)
     acfg = AdilConfig(eps=8 / 255, n_atoms=100, loss="ce", steps_inference=30)
     d100 = jax.random.uniform(jax.random.PRNGKey(5), (100, SIZE, SIZE, 3), minval=-1, maxval=1)
+    import dataclasses as _dc
+
+    acfg_bf16 = _dc.replace(acfg, perturb_dtype="bfloat16")
     if want("ddrague"):
         dd = jax.jit(lambda d, img: core.supervised_ddrague(apply_fn, variables, d, img, acfg))
         dt = timed(dd, d100, x64)
         record("adil_ddrague_b64", dt, "s/batch (<=30 iters)",
                f"adil.py:508-567; {64/dt:.0f} img/s")
+        ddb = jax.jit(lambda d, img: core.supervised_ddrague(apply_fn, variables, d, img, acfg_bf16))
+        dt = timed(ddb, d100, x64)
+        record("adil_ddrague_b64_bf16", dt, "s/batch (<=30 iters)",
+               f"mixed-precision inner fwd; {64/dt:.0f} img/s")
     if want("adamw_codes"):
         ac = jax.jit(lambda d, img: core.supervised_adamw_codes(apply_fn, variables, d, img, acfg))
         dt = timed(ac, d100, x64)
         record("adil_adamw_codes_b64", dt, "s/batch (<=100 iters)",
                f"adil.py:569-623; {64/dt:.0f} img/s")
+        acb = jax.jit(lambda d, img: core.supervised_adamw_codes(apply_fn, variables, d, img, acfg_bf16))
+        dt = timed(acb, d100, x64)
+        record("adil_adamw_codes_b64_bf16", dt, "s/batch (<=100 iters)",
+               f"mixed-precision inner fwd; {64/dt:.0f} img/s")
     if want("unsup"):
         us = jax.jit(
             lambda d, img, k: core.unsupervised_sample(apply_fn, variables, d, img, k, acfg)

@@ -69,7 +69,9 @@ class AdilConfig:
     # 'float32' (default) reproduces the reference trajectory; 'bfloat16'
     # computes the D·v contraction and image add in bf16 (master D/v and all
     # projections stay fp32 — standard mixed precision), measured ~7% faster
-    # per step on v5e (BENCHMARKS.md). Inference paths always use fp32.
+    # per step on v5e (BENCHMARKS.md). The supervised inference solvers
+    # honor the same setting for their INNER forwards; the final adversary
+    # and every budget clamp always compute in fp32.
     perturb_dtype: str = "float32"
 
     @property
@@ -412,6 +414,11 @@ def supervised_ddrague(
     AdamW(lr=1e-2) on z for <= steps_inference iterations; z clamped to
     [-eps, eps] after each step; early stop when max|Δz| < tol.
 
+    With ``cfg.perturb_dtype='bfloat16'`` the inner model forward runs on a
+    bf16 adversary (master z, the pseudo-inverse reads, the clamps, and the
+    returned adversary all stay fp32) — same mixed-precision contract as
+    training (BENCHMARKS.md).
+
     Reference: adil.py:508-567 (forward_supervised_DDrague). NOTE (faithful
     reference property): only z is eps-clamped — the returned perturbation
     dv = D D† z is z's projection onto span(D), which is NOT l∞-contractive,
@@ -422,11 +429,19 @@ def supervised_ddrague(
     labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     d_pinv = dict_pinv(d)
     opt = make_optimizer(cfg.code_lr)
+    mixed = cfg.perturb_dtype == "bfloat16"
+    images_c = images.astype(jnp.bfloat16) if mixed else images
 
     def loss_fn(z):
         v = codes_from_pinv(z, d_pinv)
-        dv = dict_apply(v, d)
-        logits = apply_fn(variables, images + dv).astype(jnp.float32)
+        if mixed:
+            dv = jnp.dot(
+                v.astype(jnp.bfloat16),
+                d.reshape(d.shape[0], -1).astype(jnp.bfloat16),
+            ).reshape(images.shape)
+        else:
+            dv = dict_apply(v, d).reshape(images.shape)
+        logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
         # Reference uses mean-CE here (adil.py:519) but sum for 'logits'.
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
@@ -481,10 +496,20 @@ def supervised_adamw_codes(
     opt = make_optimizer(cfg.code_lr)
     n = images.shape[0]
     v0 = jnp.zeros((n, cfg.n_atoms))
+    # Mixed-precision inner forward (master v, projections, and the final
+    # budget-clamped adversary stay fp32) — see supervised_ddrague.
+    mixed = cfg.perturb_dtype == "bfloat16"
+    images_c = images.astype(jnp.bfloat16) if mixed else images
 
     def loss_fn(v):
-        dv = dict_apply(v, d)
-        logits = apply_fn(variables, images + dv).astype(jnp.float32)
+        if mixed:
+            dv = jnp.dot(
+                v.astype(jnp.bfloat16),
+                d.reshape(d.shape[0], -1).astype(jnp.bfloat16),
+            ).reshape(images.shape)
+        else:
+            dv = dict_apply(v, d).reshape(images.shape)
+        logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
             logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=cfg.kappa,

@@ -53,3 +53,31 @@ def test_bf16_close_to_fp32_trajectory(victim, rng):
             ls.append(float(loss))
         losses[dtype] = ls
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.02)
+
+
+def test_bf16_inference_solvers_match_fp32(victim, rng):
+    """perturb_dtype='bfloat16' inference: fp32 master/clamps, bf16 inner
+    forward — adversaries stay close to the fp32 solver and the returned
+    tensors are fp32 with budget/pixel invariants intact."""
+    x = jax.random.uniform(rng, (6, 32, 32, 3))
+    d = jax.random.uniform(jax.random.PRNGKey(5), (4, 32, 32, 3),
+                           minval=-1.0, maxval=1.0)
+    base = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", steps_inference=5,
+                      steps_code=5)
+    import dataclasses
+
+    mixed = dataclasses.replace(base, perturb_dtype="bfloat16")
+
+    adv_a = core.supervised_ddrague(victim.apply_fn, victim.variables, d, x, base)
+    adv_b = core.supervised_ddrague(victim.apply_fn, victim.variables, d, x, mixed)
+    assert adv_b.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(adv_a - adv_b))) < 0.05
+    assert float(jnp.min(adv_b)) >= 0.0 and float(jnp.max(adv_b)) <= 1.0
+
+    adv_a = core.supervised_adamw_codes(victim.apply_fn, victim.variables, d, x, base)
+    adv_b = core.supervised_adamw_codes(victim.apply_fn, victim.variables, d, x, mixed)
+    assert adv_b.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(adv_a - adv_b))) < 0.05
+    # Hard-budget contract of the v-space solver holds in mixed precision.
+    dv = adv_b - jnp.clip(x, 0.0, 1.0)
+    assert float(jnp.min(adv_b)) >= 0.0 and float(jnp.max(adv_b)) <= 1.0
