@@ -367,7 +367,9 @@ class ADIL(Attack):
         # gather-free scan — faster than both the in-scan-gather epoch and
         # per-step dispatch (BENCHMARKS.md round 2). Trajectory-identical to
         # make_epoch_fn on the same batches (tests/test_train_scan.py).
-        epoch_fn = core.make_epoch_fn_presliced(apply_fn, self.cfg, "both")
+        # The 'swept' variant traces eps/kappa so a hyper grid over them
+        # (demo_dL_attack.py:88-94) shares one compile.
+        epoch_fn = core.make_epoch_fn_presliced_swept(apply_fn, self.cfg, "both")
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
@@ -631,9 +633,10 @@ class ADIL(Attack):
         ds, images, n, key, state = self._prepare(data_train, "alter")
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
         # Pre-sliced epochs, same as _learn_gd (one dataset gather per
-        # epoch, gather-free scan — tests/test_train_scan.py).
-        epoch_v = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "v")
-        epoch_d = core.make_epoch_fn_presliced(self.victim.apply_fn, self.cfg, "d")
+        # epoch, gather-free scan — tests/test_train_scan.py), with
+        # eps/kappa sweep compile-reuse.
+        epoch_v = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "v")
+        epoch_d = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "d")
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 

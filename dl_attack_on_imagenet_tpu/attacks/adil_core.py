@@ -20,6 +20,7 @@ Reference semantics implemented (file:line into /root/reference):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
@@ -176,11 +177,13 @@ def _batch_loss(
     labels: jax.Array,
     mask: jax.Array,
     cfg: AdilConfig,
+    kappa=None,
 ):
     """Summed attack loss over one (masked) batch + fooling count.
 
     Training applies NO pixel clamp on x+dv (reference Attack_dict_model
-    forward, adil.py:24-26).
+    forward, adil.py:24-26). ``kappa`` optionally overrides ``cfg.kappa``
+    with a TRACED scalar (the sweep compile-reuse path).
     """
     # d may be flat (K, H*W*C) — the AdilState training layout — or
     # (K, H, W, C) (the DP path keeps the replicated dictionary 4-D); dv is
@@ -200,7 +203,11 @@ def _batch_loss(
     else:
         from ..ops import cw_margin_loss
 
-        per = cw_margin_loss(logits, labels, kappa=cfg.kappa, targeted=cfg.targeted)
+        per = cw_margin_loss(
+            logits, labels,
+            kappa=cfg.kappa if kappa is None else kappa,
+            targeted=cfg.targeted,
+        )
     loss = jnp.sum(per * mask)
     fooling = jnp.sum((jnp.argmax(logits, -1) != labels) * mask)
     return loss, fooling
@@ -227,6 +234,7 @@ def make_train_step(
     apply_fn: ApplyFn,
     cfg: AdilConfig,
     update: str = "both",  # 'both' | 'v' | 'd'
+    hyper_args: bool = False,
 ):
     """Build one projected-AdamW training step over a batch of images.
 
@@ -234,16 +242,25 @@ def make_train_step(
     labels (see :func:`predict_labels`), global row indices into v, and a
     0/1 mask for padded slots. Projection runs AFTER the optimizer step
     (adil.py:185-188).
+
+    ``hyper_args=True`` makes the step take trailing TRACED ``(eps, kappa)``
+    scalars instead of baking ``cfg.eps``/``cfg.kappa`` into the trace — a
+    hyper grid sweep over those (demo_dL_attack.py:88-94) then reuses one
+    compile (see :func:`make_epoch_fn_presliced_swept`).
     """
     joint_opt = make_optimizer(cfg.step_size)
     opt_v = make_optimizer(cfg.step_size)
     opt_d = make_optimizer(2 * cfg.step_size)
 
-    def step(state: AdilState, variables: Any, x, labels, idx, mask):
+    def step(state: AdilState, variables: Any, x, labels, idx, mask,
+             eps=None, kappa=None):
+        eps = cfg.eps if eps is None else eps
+
         def loss_fn(params):
             v_rows = params["v"][idx]
             return _batch_loss(
-                apply_fn, variables, params["d"], v_rows, x, labels, mask, cfg
+                apply_fn, variables, params["d"], v_rows, x, labels, mask,
+                cfg, kappa=kappa,
             )
 
         params = {"d": state.d, "v": state.v}
@@ -267,13 +284,17 @@ def make_train_step(
         # Projections: v onto the budget ball (all rows, adil.py:29-31), d
         # onto the norm constraint (adil.py:33-35).
         if update in ("both", "v"):
-            v_new = project_codes(v_new, cfg.eps, cfg.norm)
+            v_new = project_codes(v_new, eps, cfg.norm)
         if update in ("both", "d"):
             d_new = project_dictionary(d_new, cfg.norm)
 
         new_state = state.replace(d=d_new, v=v_new, opt_state=opt_state)
         return new_state, loss, fooling
 
+    if not hyper_args:
+        return lambda state, variables, x, labels, idx, mask: step(
+            state, variables, x, labels, idx, mask
+        )
     return step
 
 
@@ -361,6 +382,61 @@ def preslice_epoch(images: jax.Array, labels: jax.Array, batches: jax.Array):
     """
     idx = jnp.maximum(batches, 0)
     return images[idx], labels[idx], batches
+
+
+@functools.lru_cache(maxsize=None)
+def _swept_epoch_cache(apply_fn: ApplyFn, cfg_static: AdilConfig, update: str):
+    """Jitted pre-sliced epoch with (eps, kappa) as traced trailing args.
+
+    Keyed on the config with eps/kappa normalized out, so every hyper combo
+    of the reference sweep (demo_dL_attack.py:88-94) that only varies
+    eps/kappa shares ONE compiled epoch per (victim, shapes). n_atoms /
+    batch-size sweeps change shapes and retrace as jit normally would.
+    """
+    step_fn = make_train_step(apply_fn, cfg_static, update, hyper_args=True)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: AdilState, variables: Any, xs: jax.Array,
+              labels_b: jax.Array, idx_b: jax.Array, eps, kappa):
+        def body(st, batch):
+            x, labels, batch_idx = batch
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            idx = jnp.maximum(batch_idx, 0)
+            st, loss, fooling = step_fn(
+                st, variables, x, labels, idx, mask, eps, kappa
+            )
+            return st, (loss, fooling)
+
+        state, (losses, foolings) = jax.lax.scan(
+            body, state, (xs, labels_b, idx_b)
+        )
+        state = state.replace(epoch=state.epoch + 1)
+        return state, jnp.sum(losses), jnp.sum(foolings)
+
+    return epoch
+
+
+def make_epoch_fn_presliced_swept(
+    apply_fn: ApplyFn,
+    cfg: AdilConfig,
+    update: str = "both",
+):
+    """Pre-sliced epoch with sweep compile-reuse over (eps, kappa).
+
+    Same signature/trajectory as :func:`make_epoch_fn_presliced`; the
+    eps/kappa scalars are bound as traced arguments so ADIL instances that
+    differ only in those hypers share the compiled epoch (the class
+    training path uses this; tests/test_adil_sweep_reuse.py).
+    """
+    cfg_static = dataclasses.replace(cfg, eps=-1.0, kappa=-1.0)
+    epoch = _swept_epoch_cache(apply_fn, cfg_static, update)
+    eps = jnp.float32(cfg.eps)
+    kappa = jnp.float32(cfg.kappa)
+
+    def run(state, variables, xs, labels_b, idx_b):
+        return epoch(state, variables, xs, labels_b, idx_b, eps, kappa)
+
+    return run
 
 
 def make_epoch_fn_presliced(
