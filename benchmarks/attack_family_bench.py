@@ -143,8 +143,10 @@ def main(only=()):
         dt = timed(lambda: epoch_fn(e0, opt0, xN, labN, batches)[0])
         record("uappgd_epoch_n256_b64", dt, "s/epoch (4 batches)",
                f"uappgd.py:70-107; {n/dt:.0f} img/s")
-        # Pre-sliced serial epoch (the production default since round 2);
-        # the per-epoch preslice gather is included in the timing.
+        # Pre-sliced serial epoch — measured SLOWER for UAP (the production
+        # serial path keeps the gather epoch; a shared-perturbation attack
+        # gains nothing from materializing batches). Kept here as the
+        # recorded A/B. Preslice gather included in the timing.
         from dl_attack_on_imagenet_tpu.attacks.uap_pgd import (
             make_uap_epoch_fn_presliced,
         )

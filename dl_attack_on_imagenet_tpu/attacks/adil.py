@@ -252,10 +252,18 @@ class ADIL(Attack):
         if not (getattr(module, "stem_s2d", False)
                 or getattr(module, "blocked_input", False)):
             return None
+        # Memoize the twin ON THE VICTIM: a hyper sweep creates one ADIL per
+        # combo around the same victim, and the twin's apply_fn identity is
+        # the compile-cache key for the swept epoch (adil_core._swept_epoch_cache)
+        # — rebuilding it per training call would defeat the sweep reuse and
+        # pin a stale compiled epoch per combo.
+        twin = getattr(self.victim, "_blocked_twin", None)
+        if twin is not None:
+            return twin
         from ..models import create_model
 
         try:
-            return create_model(
+            twin = create_model(
                 self.victim.name,
                 num_classes=self.victim.num_classes,
                 dtype=module.dtype,
@@ -269,6 +277,8 @@ class ADIL(Attack):
             )
         except TypeError:
             return None
+        self.victim._blocked_twin = twin
+        return twin
 
     def _prepare(self, data_train, mode):
         ds = as_array_dataset(data_train)
@@ -634,9 +644,24 @@ class ADIL(Attack):
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
         # Pre-sliced epochs, same as _learn_gd (one dataset gather per
         # epoch, gather-free scan — tests/test_train_scan.py), with
-        # eps/kappa sweep compile-reuse.
-        epoch_v = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "v")
-        epoch_d = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "d")
+        # eps/kappa sweep compile-reuse. Preslicing keeps a second dataset
+        # copy in HBM, so fall back to the in-scan-gather epoch for
+        # datasets past the residency budget (alter has no streamed
+        # variant — the reference's alter path is resident-only too,
+        # adil.py:212-332).
+        presliced = ds.images.nbytes <= self.RESIDENT_BYTES_LIMIT
+        if presliced:
+            epoch_v = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "v")
+            epoch_d = core.make_epoch_fn_presliced_swept(self.victim.apply_fn, self.cfg, "d")
+        else:
+            epoch_v = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "v")
+            epoch_d = core.make_epoch_fn(self.victim.apply_fn, self.cfg, "d")
+
+        def run_epoch(fn, state, batches):
+            if presliced:
+                return fn(state, self.victim.variables,
+                          *core.preslice_epoch(images, labels, batches))
+            return fn(state, self.victim.variables, images, labels, batches)
         loss_all, fooling_all, val_fool = [], [], None
         timer = StepTimer(warmup=1)
 
@@ -658,17 +683,11 @@ class ADIL(Attack):
                 for _ in range(self.cfg.steps_inner):
                     key, sub = jax.random.split(key)
                     batches = core.make_batches(sub, n, self.cfg.batch_size)
-                    state, loss_v, _ = epoch_v(
-                        state, self.victim.variables,
-                        *core.preslice_epoch(images, labels, batches),
-                    )
+                    state, loss_v, _ = run_epoch(epoch_v, state, batches)
                 for _ in range(self.cfg.steps_inner):
                     key, sub = jax.random.split(key)
                     batches = core.make_batches(sub, n, self.cfg.batch_size)
-                    state, loss_d, fooling = epoch_d(
-                        state, self.victim.variables,
-                        *core.preslice_epoch(images, labels, batches),
-                    )
+                    state, loss_d, fooling = run_epoch(epoch_d, state, batches)
                 jax.block_until_ready(loss_d)
             state = state.replace(epoch=jnp.asarray(it + 1, jnp.int32))
             loss_all.append(float(loss_d) / n)

@@ -185,12 +185,11 @@ def _batch_loss(
     forward, adil.py:24-26). ``kappa`` optionally overrides ``cfg.kappa``
     with a TRACED scalar (the sweep compile-reuse path).
     """
-    # d may be flat (K, H*W*C) — the AdilState training layout — or
-    # (K, H, W, C) (the DP path keeps the replicated dictionary 4-D); dv is
-    # reshaped to the image batch either way.
+    # d may be flat (K, H*W*C) — the training layout everywhere since the
+    # DP path also went flat — or presentation (K, H, W, C); dv is reshaped
+    # to the image batch either way.
     if cfg.perturb_dtype == "bfloat16":
-        d_flat = d.reshape(d.shape[0], -1).astype(jnp.bfloat16)
-        dv = jnp.dot(v_rows.astype(jnp.bfloat16), d_flat).reshape(x.shape)
+        dv = dict_apply(v_rows, d, compute_dtype=jnp.bfloat16).reshape(x.shape)
         x_c = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
         logits = apply_fn(variables, x_c + dv).astype(jnp.float32)
     else:
@@ -510,13 +509,9 @@ def supervised_ddrague(
 
     def loss_fn(z):
         v = codes_from_pinv(z, d_pinv)
-        if mixed:
-            dv = jnp.dot(
-                v.astype(jnp.bfloat16),
-                d.reshape(d.shape[0], -1).astype(jnp.bfloat16),
-            ).reshape(images.shape)
-        else:
-            dv = dict_apply(v, d).reshape(images.shape)
+        dv = dict_apply(
+            v, d, compute_dtype=jnp.bfloat16 if mixed else None
+        ).reshape(images.shape)
         logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
         # Reference uses mean-CE here (adil.py:519) but sum for 'logits'.
         red = "mean" if cfg.loss == "ce" else "sum"
@@ -578,13 +573,9 @@ def supervised_adamw_codes(
     images_c = images.astype(jnp.bfloat16) if mixed else images
 
     def loss_fn(v):
-        if mixed:
-            dv = jnp.dot(
-                v.astype(jnp.bfloat16),
-                d.reshape(d.shape[0], -1).astype(jnp.bfloat16),
-            ).reshape(images.shape)
-        else:
-            dv = dict_apply(v, d).reshape(images.shape)
+        dv = dict_apply(
+            v, d, compute_dtype=jnp.bfloat16 if mixed else None
+        ).reshape(images.shape)
         logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(

@@ -30,22 +30,30 @@ def dict_unflatten(d_flat: jax.Array, image_shape) -> jax.Array:
     return d_flat.reshape((d_flat.shape[0],) + tuple(image_shape))
 
 
-def dict_apply(v: jax.Array, d: jax.Array) -> jax.Array:
+def dict_apply(v: jax.Array, d: jax.Array, compute_dtype=None) -> jax.Array:
     """Compute perturbations ``dv`` for a batch of codes.
 
     Args:
       v: (N, K) coding vectors.
       d: dictionary, either (K, H, W, C) or flattened (K, M).
+      compute_dtype: None (default) runs the contraction in true fp32
+        (HIGHEST precision — required wherever dv feeds an eps-budget
+        guarantee); a dtype (e.g. ``jnp.bfloat16``) runs it in that dtype —
+        the mixed-precision INNER-forward path only (master state and every
+        budget clamp must stay fp32 at the call site).
 
     Returns:
-      (N, H, W, C) (or (N, M) if d was flat) perturbations, fp32.
+      (N, H, W, C) (or (N, M) if d was flat) perturbations.
 
     Reference: adil.py:25 (``torch.tensordot(self.v[index,:], self.d,
     dims=([1],[3]))``).
     """
     k = d.shape[0]
     d_flat = d.reshape(k, -1)
-    dv = jnp.dot(v, d_flat, precision=_PRECISION, preferred_element_type=jnp.float32)
+    if compute_dtype is not None:
+        dv = jnp.dot(v.astype(compute_dtype), d_flat.astype(compute_dtype))
+    else:
+        dv = jnp.dot(v, d_flat, precision=_PRECISION, preferred_element_type=jnp.float32)
     if d.ndim > 2:
         return dv.reshape((v.shape[0],) + d.shape[1:])
     return dv

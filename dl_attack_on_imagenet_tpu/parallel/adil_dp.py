@@ -139,6 +139,32 @@ def make_local_batches(
     return plans.reshape(n_devices, n_batches, b_local)
 
 
+def label_rows_sharded(apply_fn, variables, images, mesh: Mesh,
+                       axis: str = "data", batch_size: int = 256) -> jax.Array:
+    """Clean-model labels for a row-sharded (N_pad, ...) array, computed
+    shard-local (each device labels its own rows — no cross-host slicing,
+    no serialized full-dataset pass; multi-controller safe)."""
+
+    def local(variables, imgs):
+        n_local = imgs.shape[0]
+        b = min(batch_size, n_local)
+        nb = -(-n_local // b)
+        pad = nb * b - n_local
+        imgs_p = jnp.pad(imgs, [(0, pad)] + [(0, 0)] * (imgs.ndim - 1))
+
+        def f(x):
+            return jnp.argmax(apply_fn(variables, x).astype(jnp.float32), -1)
+
+        labs = jax.lax.map(f, imgs_p.reshape((nb, b) + imgs.shape[1:]))
+        return labs.reshape(-1)[:n_local].astype(jnp.int32)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)(variables, images)
+
+
 def shard_rows(mesh: Mesh, arr: jax.Array, axis: str = "data") -> jax.Array:
     """Place an (N, ...) array row-sharded over the mesh, padding N up."""
     n_dev = mesh.devices.size
@@ -178,6 +204,19 @@ def _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state, key,
     cache.save(payload, "ImageNet", **ckpt_key)
 
 
+def _conform(tmpl, tree):
+    """Reshape restored leaves to the template's shapes (same element count)
+    — lets flat-layout runs resume 4-D-layout checkpoints and vice versa."""
+    def fix(t, r):
+        r = jnp.asarray(r)
+        t_shape = jnp.shape(t)
+        if r.shape != t_shape and r.size == np.prod(t_shape, dtype=int):
+            return r.reshape(t_shape)
+        return r
+
+    return jax.tree_util.tree_map(fix, tmpl, tree)
+
+
 def _ckpt_restore(cache, ckpt_key, opt_d_tmpl, opt_v_tmpl):
     from flax import serialization
 
@@ -187,7 +226,9 @@ def _ckpt_restore(cache, ckpt_key, opt_d_tmpl, opt_v_tmpl):
     return {
         "d": jnp.asarray(payload["d"]),
         "v": jnp.asarray(payload["v"]),
-        "opt_d": serialization.from_state_dict(opt_d_tmpl, payload["opt_d"]),
+        "opt_d": _conform(
+            opt_d_tmpl, serialization.from_state_dict(opt_d_tmpl, payload["opt_d"])
+        ),
         "opt_v": serialization.from_state_dict(opt_v_tmpl, payload["opt_v"]),
         "rng": jnp.asarray(payload["rng"]),
         "epoch": int(payload["epoch"]),
@@ -236,14 +277,12 @@ def learn_dictionary_distributed(
     n_pad = n_local * n_dev
     v = core.init_codes(kv, n_pad, cfg, mode="distributed")
 
-    # Clean labels are computed from the LOCAL full array before sharding:
-    # slicing a row-sharded global array is not addressable from a single
-    # controller on a multi-host (DCN) mesh. Every process computes the same
-    # labels (deterministic forward), then shards them alongside the images.
-    images_local = jnp.asarray(images_np, jnp.float32)
-    labels_local = core.predict_labels(victim.apply_fn, victim.variables, images_local)
-    images = shard_rows(mesh, images_local, axis)
-    labels = shard_rows(mesh, labels_local, axis)
+    # Clean labels are computed shard-local AFTER sharding (each device
+    # labels its own rows inside one shard_map — no cross-host slicing of a
+    # global array, and the labeling pass stays distributed; the reference
+    # analog is each DDP rank forwarding its own sampler shard, adil.py:362-372).
+    images = shard_rows(mesh, jnp.asarray(images_np, jnp.float32), axis)
+    labels = label_rows_sharded(victim.apply_fn, victim.variables, images, mesh, axis)
     v = jax.device_put(v, NamedSharding(mesh, P(axis, None)))
     d = jax.device_put(d, NamedSharding(mesh, P(*([None] * d.ndim))))
 

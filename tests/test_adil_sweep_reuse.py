@@ -83,3 +83,20 @@ def test_eps_kappa_sweep_shares_compile(setup):
         victim, images, labels, cfg_small,
     )
     assert float(jnp.max(jnp.sum(jnp.abs(st.v), axis=1))) <= 2 / 255 + 1e-5
+
+
+def test_blocked_twin_memoized_across_instances():
+    """Sweep combos share the victim's blocked twin (and therefore its
+    apply_fn — the swept-epoch compile-cache key). Round-2 review finding:
+    rebuilding the twin per training call defeated the sweep reuse."""
+    from dl_attack_on_imagenet_tpu.attacks import ADIL
+
+    victim = create_model("resnet18", rng=jax.random.PRNGKey(0),
+                          input_size=32, stem_s2d=True)
+    a = ADIL(victim, n_atoms=4, eps=4 / 255, kappa=5.0)
+    b = ADIL(victim, n_atoms=4, eps=16 / 255, kappa=50.0)
+    twin_a = a._blocked_victim((32, 32, 3))
+    twin_b = b._blocked_victim((32, 32, 3))
+    assert twin_a is not None
+    assert twin_a is twin_b
+    assert twin_a.apply_fn is twin_b.apply_fn

@@ -78,6 +78,9 @@ def test_bf16_inference_solvers_match_fp32(victim, rng):
     adv_b = core.supervised_adamw_codes(victim.apply_fn, victim.variables, d, x, mixed)
     assert adv_b.dtype == jnp.float32
     assert float(jnp.max(jnp.abs(adv_a - adv_b))) < 0.05
-    # Hard-budget contract of the v-space solver holds in mixed precision.
-    dv = adv_b - jnp.clip(x, 0.0, 1.0)
-    assert float(jnp.min(adv_b)) >= 0.0 and float(jnp.max(adv_b)) <= 1.0
+    # Hard-budget contract of the v-space solver holds in mixed precision:
+    # the fp32 master v is projected onto the eps l1-ball and |D|<=1, so
+    # ||adv - x||_inf <= eps (x is already in [0,1], so the pixel clip
+    # cannot enlarge the difference).
+    dv = adv_b - x
+    assert float(jnp.max(jnp.abs(dv))) <= base.eps + 1e-5
