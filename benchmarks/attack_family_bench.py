@@ -192,6 +192,20 @@ def main(only=()):
         dt = timed(ddb, d100, x64)
         record("adil_ddrague_b64_bf16", dt, "s/batch (<=30 iters)",
                f"mixed-precision inner fwd; {64/dt:.0f} img/s")
+        # Blocked twin + bf16: the class routes supervised inference this
+        # way for stem_s2d ResNets (exact under the column permutation,
+        # tests/test_adil_blocked_class.py).
+        from dl_attack_on_imagenet_tpu.models import create_model as _cm
+        from dl_attack_on_imagenet_tpu.models.layers import space_to_depth as _s2d
+
+        twin = _cm("resnet50", dtype=jnp.bfloat16, variables=variables,
+                   blocked_input=True)
+        d100_b, x64_b = _s2d(d100), _s2d(x64)
+        ddk = jax.jit(lambda d, img: core.supervised_ddrague(
+            twin.apply_fn, twin.variables, d, img, acfg_bf16))
+        dt = timed(ddk, d100_b, x64_b)
+        record("adil_ddrague_b64_bf16_blocked", dt, "s/batch (<=30 iters)",
+               f"blocked twin + bf16; {64/dt:.0f} img/s")
     if want("adamw_codes"):
         ac = jax.jit(lambda d, img: core.supervised_adamw_codes(apply_fn, variables, d, img, acfg))
         dt = timed(ac, d100, x64)

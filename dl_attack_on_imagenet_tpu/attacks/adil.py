@@ -730,6 +730,41 @@ class ADIL(Attack):
         self.dictionary = jnp.asarray(payload["d"])
         return self.dictionary
 
+    def _twin_solvers(self, twin):
+        """Shape-cached jitted inference solvers against the blocked twin
+        (built once per ADIL instance; the twin itself is memoized on the
+        victim)."""
+        fns = getattr(self, "_twin_fns", None)
+        if fns is None:
+            apply_fn, cfg = twin.apply_fn, self.cfg
+            fns = {
+                "ddrague": jax.jit(
+                    lambda variables, d, images: core.supervised_ddrague(
+                        apply_fn, variables, d, images, cfg)),
+                "unsup": jax.jit(
+                    lambda variables, d, images, key: core.unsupervised_sample(
+                        apply_fn, variables, d, images, key, cfg)),
+                "codes": jax.jit(
+                    lambda variables, d, images: core.supervised_adamw_codes(
+                        apply_fn, variables, d, images, cfg)),
+            }
+            self._twin_fns = fns
+        return fns
+
+    def _blocked_inference(self, d, images):
+        """(twin, blocked d, blocked images) when the blocked fast path
+        applies to this batch, else None. Inference through the blocked
+        twin is exact under the column permutation: the Gram matrix (and
+        so the DDrague pseudo-inverse), every elementwise clamp, and the
+        per-image MSE are permutation-invariant (tests/test_blocked_pipeline.py
+        proves the underlying gradient/forward equivalence)."""
+        twin = self._blocked_victim(tuple(images.shape[1:]))
+        if twin is None:
+            return None
+        from ..models.layers import space_to_depth
+
+        return twin, space_to_depth(d), space_to_depth(images)
+
     def forward(self, images: jax.Array, labels: jax.Array) -> jax.Array:
         """Attack a batch: learn lazily if needed, then dispatch on mode.
 
@@ -741,15 +776,31 @@ class ADIL(Attack):
             self.learn_dictionary((np.asarray(images), np.asarray(labels)), None)
         d = self._load_dictionary()
         images = jnp.asarray(images, jnp.float32)
+        blk = self._blocked_inference(d, images)
         if self.attack_mode == "supervised":
+            if blk is not None:
+                twin, d_b, x_b = blk
+                from ..models.layers import depth_to_space
+
+                adv = self._twin_solvers(twin)["ddrague"](twin.variables, d_b, x_b)
+                return depth_to_space(adv)
             return self._ddrague_fn(self.victim.variables, d, images)
         self._rng_calls += 1
         key = jax.random.fold_in(self._loss_key(), self._rng_calls)
+        # Unsupervised stays on the standard path: it is sampling-bound
+        # (best-of-trials forwards, no input-gradients), so the blocked
+        # stem-gradient win doesn't apply.
         return self._unsup_fn(self.victim.variables, d, images, key)
 
     # Direct access to the alternative supervised solver (adil.py:569-623).
     def forward_supervised_adamw(self, images: jax.Array) -> jax.Array:
         d = self._load_dictionary()
-        return self._codes_fn(
-            self.victim.variables, d, jnp.asarray(images, jnp.float32)
-        )
+        images = jnp.asarray(images, jnp.float32)
+        blk = self._blocked_inference(d, images)
+        if blk is not None:
+            twin, d_b, x_b = blk
+            from ..models.layers import depth_to_space
+
+            adv = self._twin_solvers(twin)["codes"](twin.variables, d_b, x_b)
+            return depth_to_space(adv)
+        return self._codes_fn(self.victim.variables, d, images)

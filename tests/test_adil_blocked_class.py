@@ -109,3 +109,26 @@ def test_blocked_checkpoint_kind_is_distinct(victim, dataset, tmp_path):
     assert atk._train_ckpt_key()["kind"] == "train_state_s2d"
     atk._train_blocked = False
     assert atk._train_ckpt_key()["kind"] == "train_state"
+
+
+def test_blocked_inference_matches_standard(victim, dataset, tmp_path):
+    """Supervised inference routed through the blocked twin stays close to
+    the standard-path solver (exact math under the column permutation;
+    float reassociation only)."""
+    atk_b, _ = _train(victim, dataset, tmp_path, "inf", blocked=True)
+    # Same trained artifact, standard inference path.
+    atk_s = ADIL(victim, eps=8 / 255, steps=3, n_atoms=4, batch_size=6,
+                 loss="ce", cache=atk_b.cache, val_every=None, seed=0,
+                 blocked=False)
+    x = jnp.asarray(dataset.images[:6])
+    y = jnp.zeros((6,), jnp.int32)
+
+    adv_b = np.asarray(atk_b(x, y))
+    adv_s = np.asarray(atk_s(x, y))
+    assert np.max(np.abs(adv_b - adv_s)) < 0.05
+    assert np.mean(np.abs(adv_b - adv_s)) < 1e-3
+
+    sol_b = np.asarray(atk_b.forward_supervised_adamw(x))
+    sol_s = np.asarray(atk_s.forward_supervised_adamw(x))
+    assert np.max(np.abs(sol_b - sol_s)) < 0.05
+    assert np.mean(np.abs(sol_b - sol_s)) < 1e-3
