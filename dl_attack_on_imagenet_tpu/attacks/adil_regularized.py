@@ -305,7 +305,7 @@ def sadil(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    images, targets, weights, n_batches = _pad_for_batching(images, targets, bsz)
+    images, targets, weights, _ = _pad_for_batching(images, targets, bsz)
 
     d = project_atoms(
         jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
@@ -389,7 +389,7 @@ def sadil_updated(
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
     n = images.shape[0]
     bsz = min(cfg.batch_size, n) if cfg.batch_size else n
-    images, targets, weights, n_batches = _pad_for_batching(images, targets, bsz)
+    images, targets, weights, _ = _pad_for_batching(images, targets, bsz)
     delta = 0.5
 
     d = project_atoms(
