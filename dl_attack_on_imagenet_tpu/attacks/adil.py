@@ -67,6 +67,7 @@ class ADIL(Attack):
         resume: bool = True,
         metrics_log: Optional[str] = None,
         blocked: Any = "auto",
+        perturb_dtype: str = "float32",
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -82,6 +83,10 @@ class ADIL(Attack):
             batch_size=batch_size,
             trials=int(trials),
             steps_inference=int(steps_inference),
+            # Mixed-precision perturbation (training + supervised-inference
+            # inner forwards; master state and budget clamps stay fp32 —
+            # AdilConfig.perturb_dtype).
+            perturb_dtype=perturb_dtype,
         )
         self.attack_mode = attack
         self.method = method
@@ -373,6 +378,13 @@ class ADIL(Attack):
         else:
             apply_fn, variables = self.victim.apply_fn, self.victim.variables
         labels = core.predict_labels(apply_fn, variables, images)
+        if self.cfg.perturb_dtype == "bfloat16":
+            # Keep the resident dataset in the compute dtype: halves the
+            # per-epoch preslice traffic and removes a per-step 38 MB cast
+            # (the step casts x to bf16 anyway; labels above were computed
+            # from the fp32 originals). Class-API e2e measured 29.7 ->
+            # ~20 ms/step from this alone (BENCHMARKS.md round 2).
+            images = images.astype(jnp.bfloat16)
         # Pre-sliced epochs: one whole-dataset gather per epoch, then a
         # gather-free scan — faster than both the in-scan-gather epoch and
         # per-step dispatch (BENCHMARKS.md round 2). Trajectory-identical to

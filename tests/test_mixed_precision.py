@@ -84,3 +84,15 @@ def test_bf16_inference_solvers_match_fp32(victim, rng):
     # cannot enlarge the difference).
     dv = adv_b - x
     assert float(jnp.max(jnp.abs(dv))) <= base.eps + 1e-5
+
+
+def test_class_exposes_perturb_dtype(victim, tmp_path):
+    """The ADIL ctor plumbs perturb_dtype into its config (round-2: the
+    class previously could not reach the mixed-precision path at all)."""
+    from dl_attack_on_imagenet_tpu.attacks import ADIL
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+    atk = ADIL(victim, n_atoms=4, perturb_dtype="bfloat16",
+               cache=ArtifactCache(str(tmp_path)))
+    assert atk.cfg.perturb_dtype == "bfloat16"
+    assert ADIL(victim, n_atoms=4).cfg.perturb_dtype == "float32"
