@@ -743,9 +743,9 @@ class ADIL(Attack):
         return self.dictionary
 
     def _twin_solvers(self, twin):
-        """Shape-cached jitted inference solvers against the blocked twin
+        """Shape-cached jitted supervised solvers against the blocked twin
         (built once per ADIL instance; the twin itself is memoized on the
-        victim)."""
+        victim). Unsupervised never routes here — it is sampling-bound."""
         fns = getattr(self, "_twin_fns", None)
         if fns is None:
             apply_fn, cfg = twin.apply_fn, self.cfg
@@ -753,9 +753,6 @@ class ADIL(Attack):
                 "ddrague": jax.jit(
                     lambda variables, d, images: core.supervised_ddrague(
                         apply_fn, variables, d, images, cfg)),
-                "unsup": jax.jit(
-                    lambda variables, d, images, key: core.unsupervised_sample(
-                        apply_fn, variables, d, images, key, cfg)),
                 "codes": jax.jit(
                     lambda variables, d, images: core.supervised_adamw_codes(
                         apply_fn, variables, d, images, cfg)),
@@ -763,19 +760,33 @@ class ADIL(Attack):
             self._twin_fns = fns
         return fns
 
-    def _blocked_inference(self, d, images):
-        """(twin, blocked d, blocked images) when the blocked fast path
-        applies to this batch, else None. Inference through the blocked
-        twin is exact under the column permutation: the Gram matrix (and
-        so the DDrague pseudo-inverse), every elementwise clamp, and the
-        per-image MSE are permutation-invariant (tests/test_blocked_pipeline.py
-        proves the underlying gradient/forward equivalence)."""
+    def _blocked_dict(self, d):
+        """Blocked-layout copy of the (fixed) dictionary, cached per d."""
+        cached = getattr(self, "_blocked_d_cache", None)
+        if cached is not None and cached[0] is d:
+            return cached[1]
+        from ..models.layers import space_to_depth
+
+        d_b = space_to_depth(d)
+        self._blocked_d_cache = (d, d_b)
+        return d_b
+
+    def _blocked_supervised(self, d, images, solver: str):
+        """Run a supervised solver through the blocked twin, or None when
+        the fast path doesn't apply. Exact under the column permutation:
+        the Gram matrix (and so the DDrague pseudo-inverse), every
+        elementwise clamp, and the per-image MSE are permutation-invariant
+        (tests/test_blocked_pipeline.py proves the underlying
+        gradient/forward equivalence)."""
         twin = self._blocked_victim(tuple(images.shape[1:]))
         if twin is None:
             return None
-        from ..models.layers import space_to_depth
+        from ..models.layers import depth_to_space, space_to_depth
 
-        return twin, space_to_depth(d), space_to_depth(images)
+        adv = self._twin_solvers(twin)[solver](
+            twin.variables, self._blocked_dict(d), space_to_depth(images)
+        )
+        return depth_to_space(adv)
 
     def forward(self, images: jax.Array, labels: jax.Array) -> jax.Array:
         """Attack a batch: learn lazily if needed, then dispatch on mode.
@@ -788,14 +799,10 @@ class ADIL(Attack):
             self.learn_dictionary((np.asarray(images), np.asarray(labels)), None)
         d = self._load_dictionary()
         images = jnp.asarray(images, jnp.float32)
-        blk = self._blocked_inference(d, images)
         if self.attack_mode == "supervised":
-            if blk is not None:
-                twin, d_b, x_b = blk
-                from ..models.layers import depth_to_space
-
-                adv = self._twin_solvers(twin)["ddrague"](twin.variables, d_b, x_b)
-                return depth_to_space(adv)
+            adv = self._blocked_supervised(d, images, "ddrague")
+            if adv is not None:
+                return adv
             return self._ddrague_fn(self.victim.variables, d, images)
         self._rng_calls += 1
         key = jax.random.fold_in(self._loss_key(), self._rng_calls)
@@ -808,11 +815,7 @@ class ADIL(Attack):
     def forward_supervised_adamw(self, images: jax.Array) -> jax.Array:
         d = self._load_dictionary()
         images = jnp.asarray(images, jnp.float32)
-        blk = self._blocked_inference(d, images)
-        if blk is not None:
-            twin, d_b, x_b = blk
-            from ..models.layers import depth_to_space
-
-            adv = self._twin_solvers(twin)["codes"](twin.variables, d_b, x_b)
-            return depth_to_space(adv)
+        adv = self._blocked_supervised(d, images, "codes")
+        if adv is not None:
+            return adv
         return self._codes_fn(self.victim.variables, d, images)

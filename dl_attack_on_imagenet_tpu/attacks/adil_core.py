@@ -75,6 +75,15 @@ class AdilConfig:
     # and every budget clamp always compute in fp32.
     perturb_dtype: str = "float32"
 
+    def __post_init__(self):
+        # Downstream only tests equality with 'bfloat16' — a typo would
+        # silently fall back to fp32 and invalidate a perf comparison.
+        if self.perturb_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"perturb_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.perturb_dtype!r}"
+            )
+
     @property
     def coeff(self) -> float:
         # Targeted maximizes target-class likelihood; untargeted flips CE.

@@ -72,8 +72,12 @@ def main(args) -> dict:
         model_name = "tiny"
     else:
         victim_kwargs = {}
-        if getattr(args, "fast_victim", False) and "resnet" in args.model:
-            victim_kwargs = dict(stem_s2d=True, fold_bn=True)
+        if getattr(args, "fast_victim", False):
+            if "resnet" in args.model:
+                victim_kwargs = dict(stem_s2d=True, fold_bn=True)
+            else:
+                print(f"warning: --fast-victim only applies to ResNet models; "
+                      f"ignored for '{args.model}'")
         victim = create_model(args.model, rng=rng, **victim_kwargs)
         folder = load_imagenet(args.data_root)
         dataset = folder.materialize()

@@ -123,12 +123,14 @@ def test_blocked_inference_matches_standard(victim, dataset, tmp_path):
     x = jnp.asarray(dataset.images[:6])
     y = jnp.zeros((6,), jnp.int32)
 
+    # Measured deltas are ~1e-7 (CPU); 1e-4 is far inside the eps budget
+    # (8/255 ≈ 0.031) while robust to platform reassociation.
     adv_b = np.asarray(atk_b(x, y))
     adv_s = np.asarray(atk_s(x, y))
-    assert np.max(np.abs(adv_b - adv_s)) < 0.05
-    assert np.mean(np.abs(adv_b - adv_s)) < 1e-3
+    assert np.max(np.abs(adv_b - adv_s)) < 1e-4
+    assert np.mean(np.abs(adv_b - adv_s)) < 1e-5
 
     sol_b = np.asarray(atk_b.forward_supervised_adamw(x))
     sol_s = np.asarray(atk_s.forward_supervised_adamw(x))
-    assert np.max(np.abs(sol_b - sol_s)) < 0.05
-    assert np.mean(np.abs(sol_b - sol_s)) < 1e-3
+    assert np.max(np.abs(sol_b - sol_s)) < 1e-4
+    assert np.mean(np.abs(sol_b - sol_s)) < 1e-5

@@ -96,3 +96,8 @@ def test_class_exposes_perturb_dtype(victim, tmp_path):
                cache=ArtifactCache(str(tmp_path)))
     assert atk.cfg.perturb_dtype == "bfloat16"
     assert ADIL(victim, n_atoms=4).cfg.perturb_dtype == "float32"
+
+
+def test_perturb_dtype_validated():
+    with pytest.raises(ValueError):
+        AdilConfig(perturb_dtype="bf16")
