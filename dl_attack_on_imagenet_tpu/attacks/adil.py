@@ -173,6 +173,7 @@ class ADIL(Attack):
                 cache=self.cache,
                 ckpt_key=dict(model=self.model_name, kind="dp_train_state"),
                 resume=self.resume,
+                blocked=self.blocked,
             )
             self._save(d, v, history)
             return
@@ -249,41 +250,9 @@ class ADIL(Attack):
         h, w = image_shape[0], image_shape[1]
         if h % 2 or w % 2:
             return None
-        module = self.victim.module
-        # The twin shares the victim's variables, so the victim's parameter
-        # tree must already contain the S2DStem (stem_s2d or blocked_input)
-        # — a plain ConvBN-stem ResNet stores its stem under a different
-        # scope and would fail to apply.
-        if not (getattr(module, "stem_s2d", False)
-                or getattr(module, "blocked_input", False)):
-            return None
-        # Memoize the twin ON THE VICTIM: a hyper sweep creates one ADIL per
-        # combo around the same victim, and the twin's apply_fn identity is
-        # the compile-cache key for the swept epoch (adil_core._swept_epoch_cache)
-        # — rebuilding it per training call would defeat the sweep reuse and
-        # pin a stale compiled epoch per combo.
-        twin = getattr(self.victim, "_blocked_twin", None)
-        if twin is not None:
-            return twin
-        from ..models import create_model
+        from ..models import blocked_twin
 
-        try:
-            twin = create_model(
-                self.victim.name,
-                num_classes=self.victim.num_classes,
-                dtype=module.dtype,
-                variables=self.victim.variables,
-                input_size=self.victim.input_size,
-                blocked_input=True,
-                fold_bn=getattr(module, "fold_bn", False),
-                normalize=self.victim.normalize,
-                mean=self.victim.mean,
-                std=self.victim.std,
-            )
-        except TypeError:
-            return None
-        self.victim._blocked_twin = twin
-        return twin
+        return blocked_twin(self.victim)
 
     def _prepare(self, data_train, mode):
         ds = as_array_dataset(data_train)

@@ -153,10 +153,48 @@ def create_model(
     )
 
 
+def blocked_twin(victim: VictimModel):
+    """Blocked-input twin of a victim (same variables, same normalization),
+    memoized on the victim, or None when unsupported.
+
+    Supported when the victim's module exposes ``blocked_input`` AND its
+    parameter tree already contains the S2DStem (``stem_s2d`` or
+    ``blocked_input`` set) — a plain ConvBN-stem ResNet stores its stem
+    under a different scope and cannot share variables with the twin.
+    The memoization matters beyond speed: the twin's ``apply_fn`` identity
+    is the compile-cache key for the swept training epochs.
+    """
+    module = victim.module
+    if not (getattr(module, "stem_s2d", False)
+            or getattr(module, "blocked_input", False)):
+        return None
+    twin = getattr(victim, "_blocked_twin", None)
+    if twin is not None:
+        return twin
+    try:
+        twin = create_model(
+            victim.name,
+            num_classes=victim.num_classes,
+            dtype=module.dtype,
+            variables=victim.variables,
+            input_size=victim.input_size,
+            blocked_input=True,
+            fold_bn=getattr(module, "fold_bn", False),
+            normalize=victim.normalize,
+            mean=victim.mean,
+            std=victim.std,
+        )
+    except TypeError:
+        return None
+    victim._blocked_twin = twin
+    return twin
+
+
 __all__ = [
     "MODEL_REGISTRY",
     "VictimModel",
     "create_model",
+    "blocked_twin",
     "Normalize",
     "resnet18",
     "resnet34",

@@ -252,6 +252,7 @@ def learn_dictionary_distributed(
     cache=None,
     ckpt_key: Optional[dict] = None,
     resume: bool = True,
+    blocked: Any = "auto",
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Full DP dictionary learning. Returns (d, v_real_rows, history).
 
@@ -271,7 +272,35 @@ def learn_dictionary_distributed(
     key = jax.random.PRNGKey(seed)
     kd, kv, key = jax.random.split(key, 3)
 
-    d = core.init_dictionary(kd, dataset.image_shape, cfg) if d_init is None else jnp.asarray(d_init)
+    # Blocked (space-to-depth) layout on the mesh: same exact-equivalence
+    # argument as the serial path (tests/test_blocked_pipeline.py — the
+    # psum of D-gradients is elementwise, so it commutes with the column
+    # permutation too). Carries the single-chip stem-gradient win onto
+    # multi-chip pods; presentation layout restored at every boundary.
+    image_shape = tuple(dataset.image_shape)
+    h, w = image_shape[0], image_shape[1]
+    twin = None
+    if blocked and h % 2 == 0 and w % 2 == 0:
+        from ..models import blocked_twin
+
+        twin = blocked_twin(victim)
+    if twin is not None:
+        n_, c = images_np.shape[0], images_np.shape[3]
+        images_np = np.ascontiguousarray(
+            images_np.reshape(n_, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n_, h // 2, w // 2, 4 * c)
+        )
+        image_shape = (h // 2, w // 2, 4 * c)
+        victim = twin
+        if ckpt_key:
+            ckpt_key = {**ckpt_key, "kind": ckpt_key.get("kind", "dp_train_state") + "_s2d"}
+
+    d = core.init_dictionary(kd, image_shape, cfg) if d_init is None else jnp.asarray(d_init)
+    if twin is not None and d_init is not None:
+        from ..models.layers import space_to_depth
+
+        d = space_to_depth(d)  # warm starts arrive in presentation layout
     d = d.reshape(d.shape[0], -1)  # flat training layout (see make_dp_epoch_fn)
     n_local = -(-n // n_dev)
     n_pad = n_local * n_dev
@@ -295,8 +324,10 @@ def learn_dictionary_distributed(
 
     loss_all, fooling_all, val_fool = [], [], None
     start_epoch = 0
-    ckpt_key = ckpt_key or {"model": getattr(victim, "name", "model"),
-                            "kind": "dp_train_state"}
+    ckpt_key = ckpt_key or {
+        "model": getattr(victim, "name", "model"),
+        "kind": "dp_train_state_s2d" if twin is not None else "dp_train_state",
+    }
     if checkpoint_every and cache is not None and resume:
         restored = _ckpt_restore(cache, ckpt_key, opt_d_state, opt_v_state)
         if restored is not None:
@@ -323,10 +354,14 @@ def learn_dictionary_distributed(
         fooling_all.append(float(fooling) / n)
         if data_val is not None and val_every and (it + 1) % val_every == 0:
             val_images = jnp.asarray(data_val.images, jnp.float32)
+            if twin is not None:
+                from ..models.layers import space_to_depth
+
+                val_images = space_to_depth(val_images)
             val_fool = float(
                 core.supervised_adamw_codes(
                     victim.apply_fn, victim.variables,
-                    core.d_image(jnp.asarray(d), dataset.image_shape),
+                    core.d_image(jnp.asarray(d), image_shape),
                     val_images, cfg, return_fooling=True,
                 )
             ) / len(data_val)
@@ -348,8 +383,9 @@ def learn_dictionary_distributed(
     v_rep = jax.jit(
         lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
     )(v)
-    return (
-        core.d_image(jnp.asarray(d), dataset.image_shape),  # presentation
-        jnp.asarray(v_rep)[:n],
-        history,
-    )
+    d_out = core.d_image(jnp.asarray(d), image_shape)
+    if twin is not None:
+        from ..models.layers import depth_to_space
+
+        d_out = depth_to_space(d_out)  # back to presentation (K, H, W, C)
+    return d_out, jnp.asarray(v_rep)[:n], history

@@ -134,3 +134,34 @@ def test_blocked_inference_matches_standard(victim, dataset, tmp_path):
     sol_s = np.asarray(atk_s.forward_supervised_adamw(x))
     assert np.max(np.abs(sol_b - sol_s)) < 1e-4
     assert np.mean(np.abs(sol_b - sol_s)) < 1e-5
+
+
+def test_dp_blocked_matches_standard(victim, dataset):
+    """The mesh path's blocked='auto' layout produces the standard-path
+    result (same d_init, same batches; psum of D-grads is elementwise so
+    it commutes with the column permutation)."""
+    import jax.numpy as jnp
+
+    from dl_attack_on_imagenet_tpu.attacks import AdilConfig
+    from dl_attack_on_imagenet_tpu.parallel import (
+        data_mesh,
+        learn_dictionary_distributed,
+    )
+
+    cfg = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", steps=2, batch_size=8)
+    mesh = data_mesh(4)
+    d_init = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (4, 32, 32, 3),
+                           minval=-1.0, maxval=1.0)
+    )
+    d_a, v_a, hist_a = learn_dictionary_distributed(
+        victim, dataset, cfg, mesh, d_init=jnp.asarray(d_init), blocked=False,
+    )
+    d_b, v_b, hist_b = learn_dictionary_distributed(
+        victim, dataset, cfg, mesh, d_init=jnp.asarray(d_init), blocked="auto",
+    )
+    assert d_b.shape == (4, 32, 32, 3)  # presentation restored
+    np.testing.assert_allclose(hist_a["loss"], hist_b["loss"], rtol=2e-3)
+    frac_off = np.mean(np.abs(np.asarray(d_a) - np.asarray(d_b)) > 1e-3)
+    assert frac_off < 0.05, f"{frac_off:.4f} of D differs by >1e-3"
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=2e-3)
