@@ -101,3 +101,47 @@ def test_class_exposes_perturb_dtype(victim, tmp_path):
 def test_perturb_dtype_validated():
     with pytest.raises(ValueError):
         AdilConfig(perturb_dtype="bf16")
+
+
+def test_bf16_with_blocked_training_end_to_end(tmp_path):
+    """blocked='auto' + perturb_dtype='bfloat16' together (the headline
+    class configuration, benchmarks/class_e2e.py) trains and saves a
+    presentation-shape artifact with constraints intact."""
+    from dl_attack_on_imagenet_tpu.attacks import ADIL
+    from dl_attack_on_imagenet_tpu.data import ArrayDataset
+    from dl_attack_on_imagenet_tpu.models import create_model
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+    victim = create_model("resnet18", rng=jax.random.PRNGKey(0),
+                          input_size=32, stem_s2d=True)
+    images = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (12, 32, 32, 3)))
+    ds = ArrayDataset(images, np.zeros((12,), np.int32))
+    atk = ADIL(victim, eps=8 / 255, steps=3, n_atoms=4, batch_size=6,
+               loss="ce", cache=ArtifactCache(str(tmp_path)), val_every=None,
+               perturb_dtype="bfloat16", blocked=True)
+    atk.learn_dictionary(ds)
+    payload = atk.cache.load("ImageNet", model=atk.model_name)
+    d = payload["d"]
+    assert d.shape == (4, 32, 32, 3)
+    assert d.dtype == np.float32  # master state stayed fp32
+    assert np.abs(d).max() <= 1.0 + 1e-6
+    v = payload["v"]
+    assert np.abs(v).sum(axis=1).max() <= 8 / 255 + 1e-4
+
+
+def test_bf16_dp_training(victim):
+    """The mesh path honors perturb_dtype through the shared _batch_loss."""
+    from dl_attack_on_imagenet_tpu.data import ArrayDataset
+    from dl_attack_on_imagenet_tpu.parallel import (
+        data_mesh,
+        learn_dictionary_distributed,
+    )
+
+    cfg = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", steps=1,
+                     batch_size=8, perturb_dtype="bfloat16")
+    images = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (16, 32, 32, 3)))
+    ds = ArrayDataset(images, np.zeros((16,), np.int32))
+    d, v, hist = learn_dictionary_distributed(victim, ds, cfg, data_mesh(4))
+    assert np.isfinite(hist["loss"][0])
+    assert np.asarray(d).dtype == np.float32
+    assert np.abs(np.asarray(d)).max() <= 1.0 + 1e-6
