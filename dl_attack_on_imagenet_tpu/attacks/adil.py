@@ -445,11 +445,7 @@ class ADIL(Attack):
 
         # One streaming pass for clean labels.
         labels_host = np.empty((n,), np.int64)
-        predict = jax.jit(
-            lambda v_, x: jnp.argmax(
-                self.victim.apply_fn(v_, x).astype(jnp.float32), -1
-            )
-        )
+        predict = core._predict_fn(self.victim.apply_fn)
         for idx, x, _ in ds.batches(self.cfg.batch_size):
             labels_host[idx] = np.asarray(
                 predict(self.victim.variables, jnp.asarray(x, jnp.float32))
@@ -546,11 +542,7 @@ class ADIL(Attack):
             core.make_train_step(self.victim.apply_fn, self.cfg, "both"),
             donate_argnums=(0,),
         )
-        predict = jax.jit(
-            lambda v_, x: jnp.argmax(
-                self.victim.apply_fn(v_, x).astype(jnp.float32), -1
-            )
-        )
+        predict = core._predict_fn(self.victim.apply_fn)
 
         # One native streaming pass for clean labels (precomputed once; the
         # documented intent-fix of the reference's per-step re-labeling,
