@@ -27,6 +27,36 @@ from . import adil_core as core
 from .adil_core import AdilConfig
 
 
+import dataclasses as _dc
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _solver_cache_impl(apply_fn, cfg_static: AdilConfig):
+    return {
+        "ddrague": jax.jit(
+            lambda variables, d, images, eps, kappa: core.supervised_ddrague(
+                apply_fn, variables, d, images, cfg_static, eps, kappa)),
+        "unsup": jax.jit(
+            lambda variables, d, images, key, eps: core.unsupervised_sample(
+                apply_fn, variables, d, images, key, cfg_static, eps)),
+        "codes": jax.jit(
+            lambda variables, d, images, eps, kappa: core.supervised_adamw_codes(
+                apply_fn, variables, d, images, cfg_static,
+                eps=eps, kappa=kappa)),
+        "val": jax.jit(
+            lambda variables, d, images, eps, kappa: core.supervised_adamw_codes(
+                apply_fn, variables, d, images, cfg_static,
+                return_fooling=True, eps=eps, kappa=kappa)),
+    }
+
+
+def _solver_cache(apply_fn, cfg: AdilConfig):
+    """Jitted inference solvers shared across ADIL instances; eps/kappa are
+    traced trailing args so hyper sweeps over them reuse one compile."""
+    return _solver_cache_impl(apply_fn, _dc.replace(cfg, eps=-1.0, kappa=-1.0))
+
+
 class ADIL(Attack):
     """Adversarial Dictionary Learning (ADiL).
 
@@ -116,30 +146,22 @@ class ADIL(Attack):
         self.timing: dict = {}
         self._rng_calls = 0  # per-call fold so equal-sized batches differ
 
-        # Jitted inference/val solvers (shape-cached; avoids retracing the
-        # while_loop bodies on every call — the val eval runs every epoch).
-        apply_fn = victim.apply_fn
-        cfg = self.cfg
-        self._ddrague_fn = jax.jit(
-            lambda variables, d, images: core.supervised_ddrague(
-                apply_fn, variables, d, images, cfg
-            )
-        )
-        self._unsup_fn = jax.jit(
-            lambda variables, d, images, key: core.unsupervised_sample(
-                apply_fn, variables, d, images, key, cfg
-            )
-        )
-        self._codes_fn = jax.jit(
-            lambda variables, d, images: core.supervised_adamw_codes(
-                apply_fn, variables, d, images, cfg
-            )
-        )
-        self._val_fn = jax.jit(
-            lambda variables, d, images: core.supervised_adamw_codes(
-                apply_fn, variables, d, images, cfg, return_fooling=True
-            )
-        )
+        # Jitted inference/val solvers, shared through a module-level cache
+        # keyed on (apply_fn, cfg minus eps/kappa): eps/kappa are bound as
+        # TRACED args, so a hyper grid over them reuses ONE compiled solver
+        # per victim+shape, and no per-call retracing of the while_loop
+        # bodies happens either (the val eval runs every epoch).
+        fns = _solver_cache(victim.apply_fn, self.cfg)
+        eps_t = jnp.float32(self.cfg.eps)
+        kappa_t = jnp.float32(self.cfg.kappa)
+        self._ddrague_fn = lambda variables, d, images: fns["ddrague"](
+            variables, d, images, eps_t, kappa_t)
+        self._unsup_fn = lambda variables, d, images, key: fns["unsup"](
+            variables, d, images, key, eps_t)
+        self._codes_fn = lambda variables, d, images: fns["codes"](
+            variables, d, images, eps_t, kappa_t)
+        self._val_fn = lambda variables, d, images: fns["val"](
+            variables, d, images, eps_t, kappa_t)
 
         # Artifact memoization: train only if the trained-dictionary file is
         # missing (adil.py:94-101).
@@ -704,22 +726,19 @@ class ADIL(Attack):
         return self.dictionary
 
     def _twin_solvers(self, twin):
-        """Shape-cached jitted supervised solvers against the blocked twin
-        (built once per ADIL instance; the twin itself is memoized on the
-        victim). Unsupervised never routes here — it is sampling-bound."""
-        fns = getattr(self, "_twin_fns", None)
-        if fns is None:
-            apply_fn, cfg = twin.apply_fn, self.cfg
-            fns = {
-                "ddrague": jax.jit(
-                    lambda variables, d, images: core.supervised_ddrague(
-                        apply_fn, variables, d, images, cfg)),
-                "codes": jax.jit(
-                    lambda variables, d, images: core.supervised_adamw_codes(
-                        apply_fn, variables, d, images, cfg)),
-            }
-            self._twin_fns = fns
-        return fns
+        """Jitted supervised solvers against the blocked twin — the same
+        module-level cache as the standard solvers (the twin's apply_fn is
+        memoized on the victim, so sweeps share these compiles too).
+        Unsupervised never routes here — it is sampling-bound."""
+        fns = _solver_cache(twin.apply_fn, self.cfg)
+        eps_t = jnp.float32(self.cfg.eps)
+        kappa_t = jnp.float32(self.cfg.kappa)
+        return {
+            "ddrague": lambda variables, d, images: fns["ddrague"](
+                variables, d, images, eps_t, kappa_t),
+            "codes": lambda variables, d, images: fns["codes"](
+                variables, d, images, eps_t, kappa_t),
+        }
 
     def _blocked_dict(self, d):
         """Blocked-layout copy of the (fixed) dictionary, cached per d."""

@@ -502,6 +502,8 @@ def supervised_ddrague(
     d: jax.Array,
     images: jax.Array,
     cfg: AdilConfig,
+    eps=None,
+    kappa=None,
 ) -> jax.Array:
     """Optimize an image-shaped z, reading codes off via the pseudo-inverse.
 
@@ -520,6 +522,11 @@ def supervised_ddrague(
     dictionaries; the reference likewise never re-clamps dv, adil.py:560-567).
     Use :func:`supervised_adamw_codes` when a hard budget is required.
     """
+    # eps/kappa may arrive as TRACED scalars (sweep compile-reuse — the
+    # class solvers bind them as args so eps/kappa hyper combos share one
+    # compiled solver).
+    eps = cfg.eps if eps is None else eps
+    kappa = cfg.kappa if kappa is None else kappa
     labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     d_pinv = dict_pinv(d)
     opt = make_optimizer(cfg.code_lr)
@@ -535,7 +542,7 @@ def supervised_ddrague(
         # Reference uses mean-CE here (adil.py:519) but sum for 'logits'.
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
-            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=cfg.kappa,
+            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=kappa,
             reduction=red,
         )
 
@@ -549,7 +556,7 @@ def supervised_ddrague(
         z, opt_state, it, _ = carry
         g = jax.grad(loss_fn)(z)
         updates, opt_state = opt.update(g, opt_state, z)
-        z_new = linf_clamp(optax.apply_updates(z, updates), cfg.eps)
+        z_new = linf_clamp(optax.apply_updates(z, updates), eps)
         delta = jnp.max(jnp.abs(z_new - z))
         return (z_new, opt_state, it + 1, delta)
 
@@ -573,6 +580,8 @@ def supervised_adamw_codes(
     images: jax.Array,
     cfg: AdilConfig,
     return_fooling: bool = False,
+    eps=None,
+    kappa=None,
 ):
     """Optimize fresh codes v for a batch against a frozen dictionary.
 
@@ -582,6 +591,8 @@ def supervised_adamw_codes(
 
     Reference: adil.py:569-623 (forward_supervised_AdamW).
     """
+    eps = cfg.eps if eps is None else eps      # may be traced (sweep reuse)
+    kappa = cfg.kappa if kappa is None else kappa
     labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     opt = make_optimizer(cfg.code_lr)
     n = images.shape[0]
@@ -598,7 +609,7 @@ def supervised_adamw_codes(
         logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
-            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=cfg.kappa,
+            logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=kappa,
             reduction=red,
         )
 
@@ -610,14 +621,14 @@ def supervised_adamw_codes(
         v, opt_state, it, _ = carry
         g = jax.grad(loss_fn)(v)
         updates, opt_state = opt.update(g, opt_state, v)
-        v_new = project_codes(optax.apply_updates(v, updates), cfg.eps, cfg.norm)
+        v_new = project_codes(optax.apply_updates(v, updates), eps, cfg.norm)
         delta = jnp.max(jnp.abs(v_new - v))
         return (v_new, opt_state, it + 1, delta)
 
     v, _, _, _ = jax.lax.while_loop(
         cond, body, (v0, opt.init(v0), jnp.zeros((), jnp.int32), jnp.inf)
     )
-    dv = dict_apply(project_codes(v, cfg.eps, cfg.norm), d)
+    dv = dict_apply(project_codes(v, eps, cfg.norm), d)
     if return_fooling:
         adv_labels = jnp.argmax(apply_fn(variables, images + dv).astype(jnp.float32), -1)
         return jnp.sum(adv_labels != labels)
@@ -629,7 +640,7 @@ def supervised_adamw_codes(
 # ---------------------------------------------------------------------------
 
 
-def sample_sphere(key: jax.Array, n: int, cfg: AdilConfig) -> jax.Array:
+def sample_sphere(key: jax.Array, n: int, cfg: AdilConfig, eps=None) -> jax.Array:
     """Sample codes on the budget sphere.
 
     l2: uniform cube direction scaled to the eps l2-sphere; linf: entries
@@ -637,14 +648,15 @@ def sample_sphere(key: jax.Array, n: int, cfg: AdilConfig) -> jax.Array:
 
     Reference: adil.py:644-655.
     """
+    eps = cfg.eps if eps is None else eps  # may be traced (sweep reuse)
     if cfg.norm == "l2":
         var = jax.random.uniform(key, (n, cfg.n_atoms), minval=-1.0, maxval=1.0)
         nrm = jnp.linalg.norm(var, axis=1, keepdims=True)
-        return cfg.eps * var / jnp.maximum(nrm, 1e-12)
+        return eps * var / jnp.maximum(nrm, 1e-12)
     raw = jax.random.uniform(
-        key, (n, cfg.n_atoms), minval=cfg.eps, maxval=2 * cfg.eps
+        key, (n, cfg.n_atoms), minval=eps, maxval=2 * eps
     )
-    return project_codes(raw, cfg.eps, cfg.norm)
+    return project_codes(raw, eps, cfg.norm)
 
 
 def unsupervised_sample(
@@ -654,6 +666,7 @@ def unsupervised_sample(
     images: jax.Array,
     key: jax.Array,
     cfg: AdilConfig,
+    eps=None,
 ) -> jax.Array:
     """Best-of-trials random-code attack.
 
@@ -668,6 +681,7 @@ def unsupervised_sample(
     documented intent — vectorized masked updates, tensor return — is
     implemented here.
     """
+    eps = cfg.eps if eps is None else eps  # may be traced (sweep reuse)
     pre_labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     n = images.shape[0]
 
@@ -682,8 +696,8 @@ def unsupervised_sample(
 
     def trial(carry, k):
         fooled, mse_fool, mse_nofool, best = carry
-        v = sample_sphere(k, n, cfg)
-        dv = linf_clamp(dict_apply(v, d), cfg.eps)
+        v = sample_sphere(k, n, cfg, eps)
+        dv = linf_clamp(dict_apply(v, d), eps)
         adv = clamp_image(images + dv)
         adv_labels = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
         fooling = adv_labels != pre_labels

@@ -100,3 +100,29 @@ def test_blocked_twin_memoized_across_instances():
     assert twin_a is not None
     assert twin_a is twin_b
     assert twin_a.apply_fn is twin_b.apply_fn
+
+
+def test_inference_solver_sweep_reuse(setup):
+    """The class's jitted inference solvers are shared across instances and
+    across eps/kappa combos (module-level cache, traced hypers)."""
+    from dl_attack_on_imagenet_tpu.attacks import ADIL
+    from dl_attack_on_imagenet_tpu.attacks.adil import _solver_cache
+
+    victim, images, labels = setup
+    d = jax.random.uniform(jax.random.PRNGKey(8), (4, 32, 32, 3),
+                           minval=-1.0, maxval=1.0)
+    x = images[:4]
+
+    a = ADIL(victim, n_atoms=4, eps=4 / 255, kappa=5.0, steps_inference=3)
+    adv_a = a._ddrague_fn(victim.variables, d, x)
+    fns = _solver_cache(victim.apply_fn, a.cfg)
+    n_compiled = fns["ddrague"]._cache_size()
+    assert n_compiled >= 1
+
+    b = ADIL(victim, n_atoms=4, eps=16 / 255, kappa=50.0, steps_inference=3)
+    adv_b = b._ddrague_fn(victim.variables, d, x)
+    assert fns["ddrague"]._cache_size() == n_compiled, "eps/kappa retraced"
+    # eps really flows: the wider budget moves further from the originals.
+    da = float(jnp.abs(adv_a - x).max())
+    db = float(jnp.abs(adv_b - x).max())
+    assert db > da
