@@ -3,6 +3,17 @@
 Parity target: torchvision googlenet (reference victim, main.py:45-46).
 Aux classifiers are omitted — victims only ever run frozen in eval mode
 (adil.py:68), where torchvision disables them too.
+
+torchvision fidelity notes (proven against a real torch.nn forward in
+tests/test_torch_forward_parity.py):
+- every conv+BN is torchvision's ``BasicConv2d`` whose BatchNorm uses
+  ``eps=0.001`` (not the nn.BatchNorm2d default 1e-5);
+- ``pretrained=True`` sets ``transform_input=True`` — an extra per-channel
+  affine at the top of the forward (see layers.torch_transform_input);
+- the "5x5" branch actually uses a 3x3 kernel (a known torchvision quirk;
+  pretrained weights are shaped for 3x3);
+- maxpools are ``ceil_mode=True``, which for these shapes equals XLA SAME
+  padding with -inf fill (right/bottom pad only at 112/56/28 inputs).
 """
 
 from __future__ import annotations
@@ -12,7 +23,9 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN, global_avg_pool, max_pool
+from .layers import ConvBN, global_avg_pool, max_pool, torch_transform_input
+
+_BN_EPS = 1e-3  # torchvision BasicConv2d: BatchNorm2d(out_channels, eps=0.001)
 
 
 class InceptionBlock(nn.Module):
@@ -26,28 +39,32 @@ class InceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(self.c1, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(self.c3r, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(self.c3, (3, 3), dtype=self.dtype)(b2)
-        b3 = ConvBN(self.c5r, (1, 1), dtype=self.dtype)(x)
+        b1 = ConvBN(self.c1, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        b2 = ConvBN(self.c3r, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        b2 = ConvBN(self.c3, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(b2)
+        b3 = ConvBN(self.c5r, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
         # torchvision's googlenet actually uses a 3x3 here (a known quirk of
         # its port); we keep 3x3 for weight-compatibility.
-        b3 = ConvBN(self.c5, (3, 3), dtype=self.dtype)(b3)
+        b3 = ConvBN(self.c5, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(b3)
         b4 = max_pool(x, (3, 3), (1, 1), padding="SAME")
-        b4 = ConvBN(self.pool_proj, (1, 1), dtype=self.dtype)(b4)
+        b4 = ConvBN(self.pool_proj, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
 class GoogLeNet(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # torchvision pretrained=True default — the reference's operating point.
+    transform_input: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBN(64, (7, 7), (2, 2), dtype=self.dtype)(x)
+        if self.transform_input:
+            x = torch_transform_input(x)
+        x = ConvBN(64, (7, 7), (2, 2), bn_eps=_BN_EPS, dtype=self.dtype)(x)
         x = max_pool(x, (3, 3), (2, 2))
-        x = ConvBN(64, (1, 1), dtype=self.dtype)(x)
-        x = ConvBN(192, (3, 3), dtype=self.dtype)(x)
+        x = ConvBN(64, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        x = ConvBN(192, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(x)
         x = max_pool(x, (3, 3), (2, 2))
 
         x = InceptionBlock(64, 96, 128, 16, 32, 32, dtype=self.dtype)(x)     # 3a
@@ -66,5 +83,7 @@ class GoogLeNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def googlenet(num_classes: int = 1000, dtype=jnp.float32) -> GoogLeNet:
-    return GoogLeNet(num_classes=num_classes, dtype=dtype)
+def googlenet(num_classes: int = 1000, dtype=jnp.float32,
+              transform_input: bool = True) -> GoogLeNet:
+    return GoogLeNet(num_classes=num_classes, dtype=dtype,
+                     transform_input=transform_input)

@@ -5,16 +5,27 @@ The reference feeds 224x224 crops despite Inception's native 299 (the repo
 uses one blanket transform, DS_ImageNet.py:14-18); global average pooling
 makes the head size-agnostic, so both input sizes work here.
 Aux head omitted (eval-mode victims only, adil.py:68).
+
+torchvision fidelity notes (proven against a real torch.nn forward in
+tests/test_torch_forward_parity.py):
+- EVERY conv+BN is torchvision's ``BasicConv2d``: BatchNorm eps=0.001
+  (not just the stem — all Mixed_* blocks too);
+- ``pretrained=True`` sets ``transform_input=True`` — an extra per-channel
+  affine at the top of the forward (see layers.torch_transform_input).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN, global_avg_pool, max_pool
+from .layers import ConvBN, global_avg_pool, max_pool, torch_transform_input
+
+# torchvision BasicConv2d: BatchNorm2d(out_channels, eps=0.001) — everywhere.
+CBN = functools.partial(ConvBN, bn_eps=1e-3)
 
 
 class InceptionA(nn.Module):
@@ -23,14 +34,14 @@ class InceptionA(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(64, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(48, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(64, (5, 5), dtype=self.dtype)(b2)
-        b3 = ConvBN(64, (1, 1), dtype=self.dtype)(x)
-        b3 = ConvBN(96, (3, 3), dtype=self.dtype)(b3)
-        b3 = ConvBN(96, (3, 3), dtype=self.dtype)(b3)
+        b1 = CBN(64, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(48, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(64, (5, 5), dtype=self.dtype)(b2)
+        b3 = CBN(64, (1, 1), dtype=self.dtype)(x)
+        b3 = CBN(96, (3, 3), dtype=self.dtype)(b3)
+        b3 = CBN(96, (3, 3), dtype=self.dtype)(b3)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = ConvBN(self.pool_features, (1, 1), dtype=self.dtype)(b4)
+        b4 = CBN(self.pool_features, (1, 1), dtype=self.dtype)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -39,10 +50,10 @@ class InceptionB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(384, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x)
-        b2 = ConvBN(64, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(96, (3, 3), dtype=self.dtype)(b2)
-        b2 = ConvBN(96, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
+        b1 = CBN(384, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x)
+        b2 = CBN(64, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(96, (3, 3), dtype=self.dtype)(b2)
+        b2 = CBN(96, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
         b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
@@ -54,17 +65,17 @@ class InceptionC(nn.Module):
     @nn.compact
     def __call__(self, x):
         c7 = self.c7
-        b1 = ConvBN(192, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(c7, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(c7, (1, 7), dtype=self.dtype)(b2)
-        b2 = ConvBN(192, (7, 1), dtype=self.dtype)(b2)
-        b3 = ConvBN(c7, (1, 1), dtype=self.dtype)(x)
-        b3 = ConvBN(c7, (7, 1), dtype=self.dtype)(b3)
-        b3 = ConvBN(c7, (1, 7), dtype=self.dtype)(b3)
-        b3 = ConvBN(c7, (7, 1), dtype=self.dtype)(b3)
-        b3 = ConvBN(192, (1, 7), dtype=self.dtype)(b3)
+        b1 = CBN(192, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(c7, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(c7, (1, 7), dtype=self.dtype)(b2)
+        b2 = CBN(192, (7, 1), dtype=self.dtype)(b2)
+        b3 = CBN(c7, (1, 1), dtype=self.dtype)(x)
+        b3 = CBN(c7, (7, 1), dtype=self.dtype)(b3)
+        b3 = CBN(c7, (1, 7), dtype=self.dtype)(b3)
+        b3 = CBN(c7, (7, 1), dtype=self.dtype)(b3)
+        b3 = CBN(192, (1, 7), dtype=self.dtype)(b3)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = ConvBN(192, (1, 1), dtype=self.dtype)(b4)
+        b4 = CBN(192, (1, 1), dtype=self.dtype)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -73,12 +84,12 @@ class InceptionD(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(192, (1, 1), dtype=self.dtype)(x)
-        b1 = ConvBN(320, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b1)
-        b2 = ConvBN(192, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(192, (1, 7), dtype=self.dtype)(b2)
-        b2 = ConvBN(192, (7, 1), dtype=self.dtype)(b2)
-        b2 = ConvBN(192, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
+        b1 = CBN(192, (1, 1), dtype=self.dtype)(x)
+        b1 = CBN(320, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b1)
+        b2 = CBN(192, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(192, (1, 7), dtype=self.dtype)(b2)
+        b2 = CBN(192, (7, 1), dtype=self.dtype)(b2)
+        b2 = CBN(192, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
         b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
@@ -88,33 +99,37 @@ class InceptionE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(320, (1, 1), dtype=self.dtype)(x)
-        b2 = ConvBN(384, (1, 1), dtype=self.dtype)(x)
+        b1 = CBN(320, (1, 1), dtype=self.dtype)(x)
+        b2 = CBN(384, (1, 1), dtype=self.dtype)(x)
         b2 = jnp.concatenate(
-            [ConvBN(384, (1, 3), dtype=self.dtype)(b2),
-             ConvBN(384, (3, 1), dtype=self.dtype)(b2)], axis=-1)
-        b3 = ConvBN(448, (1, 1), dtype=self.dtype)(x)
-        b3 = ConvBN(384, (3, 3), dtype=self.dtype)(b3)
+            [CBN(384, (1, 3), dtype=self.dtype)(b2),
+             CBN(384, (3, 1), dtype=self.dtype)(b2)], axis=-1)
+        b3 = CBN(448, (1, 1), dtype=self.dtype)(x)
+        b3 = CBN(384, (3, 3), dtype=self.dtype)(b3)
         b3 = jnp.concatenate(
-            [ConvBN(384, (1, 3), dtype=self.dtype)(b3),
-             ConvBN(384, (3, 1), dtype=self.dtype)(b3)], axis=-1)
+            [CBN(384, (1, 3), dtype=self.dtype)(b3),
+             CBN(384, (3, 1), dtype=self.dtype)(b3)], axis=-1)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = ConvBN(192, (1, 1), dtype=self.dtype)(b4)
+        b4 = CBN(192, (1, 1), dtype=self.dtype)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
 class InceptionV3(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # torchvision pretrained=True default — the reference's operating point.
+    transform_input: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBN(32, (3, 3), (2, 2), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
-        x = ConvBN(32, (3, 3), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
-        x = ConvBN(64, (3, 3), bn_eps=1e-3, dtype=self.dtype)(x)
+        if self.transform_input:
+            x = torch_transform_input(x)
+        x = CBN(32, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x)
+        x = CBN(32, (3, 3), padding="VALID", dtype=self.dtype)(x)
+        x = CBN(64, (3, 3), dtype=self.dtype)(x)
         x = max_pool(x, (3, 3), (2, 2), padding="VALID")
-        x = ConvBN(80, (1, 1), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
-        x = ConvBN(192, (3, 3), padding="VALID", bn_eps=1e-3, dtype=self.dtype)(x)
+        x = CBN(80, (1, 1), padding="VALID", dtype=self.dtype)(x)
+        x = CBN(192, (3, 3), padding="VALID", dtype=self.dtype)(x)
         x = max_pool(x, (3, 3), (2, 2), padding="VALID")
         x = InceptionA(32, dtype=self.dtype)(x)
         x = InceptionA(64, dtype=self.dtype)(x)
@@ -131,5 +146,7 @@ class InceptionV3(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def inception_v3(num_classes: int = 1000, dtype=jnp.float32) -> InceptionV3:
-    return InceptionV3(num_classes=num_classes, dtype=dtype)
+def inception_v3(num_classes: int = 1000, dtype=jnp.float32,
+                 transform_input: bool = True) -> InceptionV3:
+    return InceptionV3(num_classes=num_classes, dtype=dtype,
+                       transform_input=transform_input)

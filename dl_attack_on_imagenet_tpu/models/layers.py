@@ -34,6 +34,21 @@ class Normalize(nn.Module):
         return (x - mean) / std
 
 
+def torch_transform_input(x: jax.Array) -> jax.Array:
+    """torchvision's ``transform_input=True`` channel affine (NHWC).
+
+    ``torchvision.models.googlenet``/``inception_v3`` with ``pretrained=True``
+    (the reference's victims, main.py:45-48) set ``transform_input=True``,
+    which remaps each channel as ``x_c * (std_c/0.5) + (mean_c-0.5)/0.5``
+    inside the model forward — ON TOP of the reference's external Normalize
+    wrapper (main.py:54-58). Reproducing the reference's victim function
+    (and its input gradients) requires this extra affine.
+    """
+    std = jnp.asarray(IMAGENET_STD, x.dtype) / 0.5
+    mean = (jnp.asarray(IMAGENET_MEAN, x.dtype) - 0.5) / 0.5
+    return x * std + mean
+
+
 def space_to_depth(x: jax.Array, block: int = 2) -> jax.Array:
     """NHWC -> blocked NHWC: (N,H,W,C) -> (N,H/b,W/b,b*b*C), channel order
     (ki, kj, c) with c fastest — the S2DStem compute layout."""
