@@ -62,6 +62,18 @@ class RegularizedConfig:
     dict_set: str = "l2ball"
     budget: float = 10 / 255
     trials: int = 100
+    # Knobs of the reference's *executed* learn_dictionary variant
+    # (adil_regularized.py:722-815, see adilr_adamw). That method reads
+    # self.eps/alpha/norm/loss/kappa which ADILR.__init__ NEVER SETS (the
+    # call site :691 also mismatches the signature :722) — the reference
+    # path is un-runnable as written. Defaults follow the companion
+    # constrained class (adil.py:63-66 / demo_dL_attack.py:91-94),
+    # documented intent per SURVEY.md §2.4.
+    eps: float = 8 / 255
+    alpha: float = 0.0  # the reference's prox radius is eps+alpha (:759)
+    norm: str = "linf"  # 'linf' | 'l2' — d/v init + val-solver budget
+    loss: str = "ce"  # 'ce' | 'logits' (:787-789)
+    kappa: float = 50.0  # f_loss clamp floor (:712-720)
 
     @property
     def coeff(self) -> float:
@@ -522,6 +534,170 @@ def _sadil_updated_fns(apply_fn, bsz: int, dict_set: str):
 
 
 # ---------------------------------------------------------------------------
+# AdamW hybrid trainer — the reference's *executed* learn_dictionary
+# (adil_regularized.py:722-815)
+# ---------------------------------------------------------------------------
+
+
+def adilr_adamw(
+    apply_fn: ApplyFn,
+    variables: Any,
+    images: jax.Array,
+    cfg: RegularizedConfig,
+    key: jax.Array,
+    val_images: Optional[jax.Array] = None,
+    nepochs: Optional[int] = None,
+    tol: float = 1e-6,
+    shuffle: bool = True,
+    d_init: Optional[jax.Array] = None,
+    v_init: Optional[jax.Array] = None,
+):
+    """The reference ADILR's executed training variant, by documented intent.
+
+    Reference: adil_regularized.py:722-815 — joint AdamW on ``(D, v)`` at
+    ``lr=step_size`` (:760-764, torch defaults incl. weight_decay=0.01),
+    loss ``coeff*CE_sum + 0.5*lambda_l2*||Dv||^2`` or CW
+    ``f_loss.sum() + 0.5*lambda_l2*||Dv||^2`` (:786-789), after each step a
+    per-atom ``constraint_dict`` projection of D only (:797 — ``update_v``
+    is commented out, so v is NOT projected; the ``eps+alpha`` prox radius
+    passed to ``Attack_dict_model`` at :759 feeds only that dead update_v),
+    per-epoch mean-loss/fooling tracking (:800-803) and a per-epoch
+    val-fooling eval through the ADIL v-AdamW solver (:806-810), stop on
+    ``|Δloss| < 1e-6`` after the first epoch (:812-813).
+
+    Intent decisions (the reference method is un-callable, see
+    RegularizedConfig): labels are the victim's clean predictions,
+    precomputed once — the reference recomputes ``model(x).argmax`` on the
+    unchanged x every step (:781); d init follows :752-756 (l2 norm →
+    projected gauss; else uniform(-1,1)); v init is ``projection_v`` of
+    uniform(0,1) rows (:758, ADIL semantics adil.py:625-633).
+
+    Returns ``(d, v, losses, fooling_rates, val_fools)`` with per-epoch
+    per-image-normalized losses (:800).
+    """
+    from .adil_core import AdilConfig, predict_labels, supervised_adamw_codes
+    from ..ops import project_codes
+
+    nepochs = int(nepochs if nepochs is not None else cfg.steps)
+    n = images.shape[0]
+    bsz = min(cfg.batch_size, n) if cfg.batch_size else n
+    images_p, _, weights, _ = _pad_for_batching(images, jnp.zeros((n,), jnp.int32), bsz)
+    labels = predict_labels(apply_fn, variables, images)
+    labels_p = jnp.pad(labels, (0, images_p.shape[0] - n))
+
+    k_d, k_v = jax.random.split(key)
+    if d_init is not None:
+        d = jnp.asarray(d_init)
+    elif cfg.norm.lower() == "l2":
+        d = project_atoms(
+            jax.random.normal(k_d, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+        )
+    else:
+        d = jax.random.uniform(
+            k_d, (cfg.n_atoms,) + images.shape[1:], minval=-1.0, maxval=1.0
+        )
+    if v_init is not None:
+        v = jnp.pad(jnp.asarray(v_init), ((0, images_p.shape[0] - n), (0, 0)))
+    else:
+        v = project_codes(
+            jax.random.uniform(k_v, (images_p.shape[0], cfg.n_atoms)),
+            cfg.eps + cfg.alpha, cfg.norm,
+        )
+
+    import optax
+
+    opt_state = optax.adamw(cfg.step_size, weight_decay=1e-2).init({"d": d, "v": v})
+    epoch_fn = _adilr_adamw_epoch(apply_fn, bsz, cfg.dict_set, cfg.loss, cfg.targeted)
+    lr, _, lam2, coeff = _hp(cfg)
+    kappa = jnp.float32(cfg.kappa)
+
+    val_cfg = AdilConfig(
+        eps=cfg.eps, norm=cfg.norm, n_atoms=cfg.n_atoms, loss=cfg.loss,
+        kappa=cfg.kappa, targeted=cfg.targeted,
+    )
+
+    losses, fooling_rates, val_fools = [], [], []
+    for ep in range(nepochs):
+        if shuffle:
+            perm = jax.random.permutation(
+                jax.random.fold_in(key, ep), images_p.shape[0]
+            )
+        else:
+            perm = jnp.arange(images_p.shape[0])
+        d, v, opt_state, loss_sum, fool_sum = epoch_fn(
+            variables, images_p, labels_p, weights, perm, d, v, opt_state,
+            lr, lam2, coeff, kappa,
+        )
+        losses.append(float(loss_sum) / n)
+        fooling_rates.append(float(fool_sum) / n)
+        if val_images is not None:
+            fooled = supervised_adamw_codes(
+                apply_fn, variables, d, val_images, val_cfg, return_fooling=True
+            )
+            val_fools.append(float(fooled) / val_images.shape[0])
+        if ep > 1 and abs(losses[-1] - losses[-2]) < tol:
+            break
+    return d, v[:n], losses, fooling_rates, val_fools
+
+
+@functools.lru_cache(maxsize=None)
+def _adilr_adamw_fns(apply_fn, bsz: int, dict_set: str, loss: str, targeted: bool):
+    """Jitted epoch for adilr_adamw; lr/lam2/coeff/kappa traced so one
+    compile serves a hyper sweep (the round-2 compile-reuse pattern)."""
+    import optax
+
+    from ..ops import cw_margin_loss
+
+    @jax.jit
+    def epoch(variables, images, labels, weights, perm, d, v, opt_state,
+              lr, lam2, coeff, kappa):
+        opt = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+        n_batches = images.shape[0] // bsz
+
+        def body(carry, b):
+            d, v, opt_state, loss_acc, fool_acc = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, b * bsz, bsz)
+            x = jnp.take(images, idx, axis=0)
+            t = jnp.take(labels, idx, axis=0)
+            w = jnp.take(weights, idx, axis=0)
+
+            def loss_fn(params):
+                dv = dict_apply(jnp.take(params["v"], idx, axis=0), params["d"])
+                logits = apply_fn(variables, x + dv).astype(jnp.float32)
+                if loss == "ce":
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    per = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+                    smooth = coeff * jnp.sum(per * w)
+                else:
+                    per = cw_margin_loss(logits, t, kappa=kappa, targeted=targeted)
+                    smooth = jnp.sum(per * w)
+                sq = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
+                return smooth + 0.5 * lam2 * jnp.sum(sq * w), logits
+
+            (l, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                {"d": d, "v": v}
+            )
+            updates, opt_state = opt.update(g, opt_state, {"d": d, "v": v})
+            new = optax.apply_updates({"d": d, "v": v}, updates)
+            # update_d only (:797); v stays unprojected.
+            d = project_atoms(new["d"], dict_set)
+            fool = jnp.sum((jnp.argmax(logits, -1) != t) * w)
+            return (d, new["v"], opt_state, loss_acc + l, fool_acc + fool), None
+
+        (d, v, opt_state, loss_acc, fool_acc), _ = jax.lax.scan(
+            body, (d, v, opt_state, jnp.zeros(()), jnp.zeros(())),
+            jnp.arange(n_batches),
+        )
+        return d, v, opt_state, loss_acc, fool_acc
+
+    return epoch
+
+
+def _adilr_adamw_epoch(apply_fn, bsz, dict_set, loss, targeted):
+    return _adilr_adamw_fns(apply_fn, bsz, dict_set, loss, targeted)
+
+
+# ---------------------------------------------------------------------------
 # Inference-time coding-vector solver (:508-628)
 # ---------------------------------------------------------------------------
 
@@ -706,6 +882,12 @@ class ADILR(Attack):
         attack_conditioned: str = "labels_atoms",
         cache: Optional[ArtifactCache] = None,
         seed: int = 0,
+        eps: float = 8 / 255,
+        alpha: float = 0.0,
+        norm: str = "linf",
+        loss: str = "ce",
+        kappa: float = 50.0,
+        data_val=None,
     ):
         super().__init__(victim, "ADILR", targeted)
         self.cfg = RegularizedConfig(
@@ -718,7 +900,13 @@ class ADILR(Attack):
             targeted=targeted,
             budget=budget,
             trials=int(trials),
+            eps=eps,
+            alpha=alpha,
+            norm=norm,
+            loss=loss,
+            kappa=kappa,
         )
+        self.data_val = data_val
         self.version = version
         self.attack_mode = attack
         self.attack_conditioned = attack_conditioned
@@ -760,9 +948,10 @@ class ADILR(Attack):
         )
 
     def learn_dictionary(self, data_train):
-        """Dispatch on version: deterministic -> adil_fb; stochastic ->
-        sadil_updated (reference commented-out learn_dictionary,
-        adil_regularized.py:701-719)."""
+        """Dispatch on version: deterministic -> adil_fb; 'adamw' -> the
+        reference's executed hybrid trainer (adil_regularized.py:722-815,
+        see adilr_adamw); anything else -> sadil_updated (reference
+        commented-out learn_dictionary, adil_regularized.py:701-719)."""
         ds = as_array_dataset(data_train)
         images = jnp.asarray(ds.images, jnp.float32)
         labels = jnp.asarray(ds.labels, jnp.int32)
@@ -776,6 +965,19 @@ class ADILR(Attack):
                 self.cfg, key,
             )
             losses = np.asarray(track)
+        elif self.version == "adamw":
+            val_images = None
+            if self.data_val is not None:
+                val_images = jnp.asarray(
+                    as_array_dataset(self.data_val).images, jnp.float32
+                )
+            d, v, losses, fooling, val_fools = adilr_adamw(
+                self.victim.apply_fn, self.victim.variables, images,
+                self.cfg, key, val_images=val_images,
+            )
+            self.fooling_rates = fooling
+            self.val_fools = val_fools
+            losses = np.asarray(losses, np.float32)
         else:
             d, v, losses = sadil_updated(
                 self.victim.apply_fn, self.victim.variables, images, targets,
