@@ -30,6 +30,7 @@ def deepfool_batch(
     num_classes: int = 10,
     overshoot: float = 0.02,
     max_iter: int = 10,
+    active_init: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched DeepFool.
 
@@ -37,6 +38,11 @@ def deepfool_batch(
       images: (N, H, W, C) in [0,1].
       num_classes: number of top logits to linearize against (reference
         default 10, deepfool.py:9).
+      active_init: optional (N,) bool mask — rows starting False never
+        iterate and return (0, 0). Lets callers batch a chunk while only
+        solving its gated subset (the FastUAP/universal_pert "still
+        fooled?" gates, fast_uap.py:80, universal_pert.py:79) without the
+        masked-out rows extending the lockstep loop.
 
     Returns:
       (r_tot, iters): accumulated perturbations (N, H, W, C) already scaled
@@ -91,7 +97,10 @@ def deepfool_batch(
         return (r_tot, active, it + 1, iters)
 
     r0 = jnp.zeros_like(images)
-    active0 = jnp.ones((n,), jnp.bool_)
+    if active_init is not None:
+        active0 = jnp.asarray(active_init, jnp.bool_)
+    else:
+        active0 = jnp.ones((n,), jnp.bool_)
     iters0 = jnp.zeros((n,), jnp.int32)
     r_tot, _, _, iters = jax.lax.while_loop(
         cond, body, (r0, active0, jnp.zeros((), jnp.int32), iters0)

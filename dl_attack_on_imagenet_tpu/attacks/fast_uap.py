@@ -25,7 +25,7 @@ from ..models import VictimModel
 from ..utils import ArtifactCache
 from .base import Attack
 from .deepfool import deepfool_batch
-from .uap_pgd import additive_fooling_rate, project_uap
+from .uap_pgd import additive_fooling_rate, fold_increments, project_uap
 
 
 class FastUAP(Attack):
@@ -90,25 +90,30 @@ class FastUAP(Attack):
             val_images = jnp.asarray(as_array_dataset(data_val).images, jnp.float32)
 
         vars_ = self.victim.variables
+        eps_t = jnp.float32(self.eps)
         for it in range(self.steps):
-            # Sequential pass: per image, if x+attack still classifies like x,
-            # push it over the nearest boundary and fold the increment into
-            # the universal perturbation (fast_uap.py:74-91). Clean labels
-            # for a chunk are batched; DeepFool runs on the not-yet-fooled
-            # subset of each chunk.
+            # Chunk-batched pass over the reference's per-image loop
+            # (fast_uap.py:74-91): the "still classified like clean?" gate
+            # and the DeepFool solve run on a whole chunk at once (ONE
+            # forward for the gate, one lockstep DeepFool over the gated
+            # subset via active_init), then the accepted increments fold in
+            # image order with the projection between folds — exactly the
+            # reference's accumulation. chunk=1 reproduces the reference's
+            # strictly sequential trajectory (each image's gate sees every
+            # earlier fold); larger chunks evaluate the gate against the
+            # chunk-start perturbation (round-3 batching, VERDICT #7) —
+            # measured equivalent fooling at a fraction of the dispatches.
             for s in range(0, n, self.chunk):
                 x = images[s : s + self.chunk]
+                pert = x + attack[None]
                 clean = self._predict_fn(vars_, x)
-                for j in range(x.shape[0]):
-                    xj = x[j : j + 1]
-                    pert = xj + attack[None]
-                    if int(self._predict_fn(vars_, pert)[0]) != int(clean[j]):
-                        continue
-                    delta, iters = self._deepfool(vars_, pert)
-                    if int(iters[0]) < self.steps_deepfool - 1:
-                        attack = project_uap(
-                            attack + delta[0], self.eps, self.norm
-                        )
+                cur = self._predict_fn(vars_, pert)
+                gate = cur == clean
+                if not bool(jnp.any(gate)):
+                    continue
+                delta, iters = self._deepfool(vars_, pert, active_init=gate)
+                accept = gate & (iters < self.steps_deepfool - 1)
+                attack = fold_increments(attack, delta, accept, eps_t, self.norm)
             if val_images is not None:
                 fooling_rate.append(
                     additive_fooling_rate(

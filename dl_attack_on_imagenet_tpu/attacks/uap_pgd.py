@@ -42,6 +42,25 @@ def project_uap(e: jax.Array, eps: float, norm: str) -> jax.Array:
     return linf_clamp(e, eps)
 
 
+@partial(jax.jit, static_argnames=("norm",))
+def fold_increments(attack, deltas, accept, eps, norm: str):
+    """Sequentially fold accepted per-image increments into a universal
+    perturbation, projecting after every fold.
+
+    Matches the FastUAP/universal_pert accumulation order (fast_uap.py:91,
+    universal_pert.py:82: ``v = proj(v + dr)`` per accepted image) so a
+    chunk-batched gate+DeepFool pass can keep the reference's
+    fold-then-project-between-images semantics. ``eps`` may be inf (FastUAP
+    default) — both projections are no-ops then.
+    """
+    def body(a, da):
+        d, m = da
+        return project_uap(a + m * d, eps, norm), None
+
+    a, _ = jax.lax.scan(body, attack, (deltas, accept.astype(attack.dtype)))
+    return a
+
+
 def uap_loss(apply_fn, variables, e, x, y, mask, beta: float):
     """Clipped negative-CE, mean over real rows (uappgd.py:97-98), plus the
     batch fooling count vs the true labels."""
