@@ -37,6 +37,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--results-dir", default="dict_model_ImageNet_version_constrained")
     p.add_argument("--synthetic", type=int, default=0,
                    help=">0: use a synthetic dataset of this size + tiny victim")
+    p.add_argument("--input-size", type=int, default=224,
+                   help="victim input size. Default 224 matches the "
+                        "reference's blanket Resize(256)+CenterCrop(224) "
+                        "transform fed to EVERY victim including "
+                        "inception_v3 (DS_ImageNet.py:14-18, main.py:47-48); "
+                        "pass 299 for Inception's native size")
     # TPU performance knobs (BENCHMARKS.md; defaults keep the reference
     # trajectory exactly).
     p.add_argument("--mixed-precision", action="store_true",
@@ -78,7 +84,12 @@ def main(args) -> dict:
             else:
                 print(f"warning: --fast-victim only applies to ResNet models; "
                       f"ignored for '{args.model}'")
-        victim = create_model(args.model, rng=rng, **victim_kwargs)
+        # Blanket input size for every victim (incl. inception) — the
+        # reference's single dataset transform (DS_ImageNet.py:14-18).
+        victim = create_model(
+            args.model, rng=rng,
+            input_size=getattr(args, "input_size", 224), **victim_kwargs,
+        )
         folder = load_imagenet(args.data_root)
         dataset = folder.materialize()
         num_classes = args.trained_classes
@@ -131,14 +142,23 @@ def main(args) -> dict:
 
 
 def _flatten(tree, prefix=""):
-    """Flatten nested result dicts into msgpack-serializable scalars."""
+    """Flatten nested result dicts into msgpack-serializable leaves.
+
+    Numeric leaves become floats/arrays; string leaves (the harness's
+    ``group_key``/``sub_names`` name-mapping entries) pass through as-is.
+    """
     flat = {}
     for k, v in tree.items():
         key = f"{prefix}{k}"
         if isinstance(v, dict):
             flat.update(_flatten(v, key + "/"))
+        elif isinstance(v, str):
+            flat[key] = v
         elif isinstance(v, (list, tuple)):
-            flat[key] = np.asarray(v, np.float64)
+            if v and all(isinstance(e, str) for e in v):
+                flat[key] = list(v)
+            else:
+                flat[key] = np.asarray(v, np.float64)
         else:
             flat[key] = float(v)
     return flat

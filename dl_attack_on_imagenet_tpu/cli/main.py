@@ -34,6 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dict-dir", default="trained_dicts")
     p.add_argument("--out", default="attack_samples.png")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--input-size", type=int, default=224,
+                   help="victim input size; 224 is the reference's blanket "
+                        "crop for every victim incl. inception "
+                        "(DS_ImageNet.py:14-18)")
     return p
 
 
@@ -43,7 +47,10 @@ def main(args) -> str:
     from ..models import create_model
     from ..utils import ArtifactCache
 
-    victim = create_model(args.model, rng=jax.random.PRNGKey(args.seed))
+    victim = create_model(
+        args.model, rng=jax.random.PRNGKey(args.seed),
+        input_size=getattr(args, "input_size", 224),
+    )
 
     classes = None
     if args.image and os.path.exists(args.image):
