@@ -204,6 +204,111 @@ def _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state, key,
     cache.save(payload, "ImageNet", **ckpt_key)
 
 
+def _mesh_placed(tree, mesh: Mesh):
+    """Return ``tree`` with every leaf placed on ``mesh``.
+
+    Leaves already sharded over all of the mesh's devices pass through
+    (v's AdamW moments inherit v's row sharding from ``zeros_like``);
+    everything else — notably optax's step counters, which ``opt.init``
+    creates on the default device — is replicated over the mesh. Needed
+    both at save (a single-device leaf is not addressable from the other
+    controllers of a DCN mesh) and as the restore template (a committed
+    single-device leaf would clash with the mesh-committed d/v in jit).
+    """
+    mesh_devs = set(np.asarray(mesh.devices).flat)
+
+    def place(x):
+        sh = getattr(x, "sharding", None)
+        if sh is not None and set(sh.device_set) == mesh_devs:
+            return x
+        spec = P(*([None] * jnp.ndim(x)))
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def _meta_template(mesh: Mesh, key, steps: int):
+    """Replicated-on-mesh templates for the host-side training metadata.
+
+    The loss/fooling curves are stored padded to ``steps`` entries (zero
+    tail — NaN would trip the multi-process ``device_put`` cross-host
+    equality check, NaN != NaN) so the restore template's shapes are
+    static; ``epoch`` says how many entries are real."""
+    rep = NamedSharding(mesh, P())
+    return {
+        "rng": jax.device_put(jnp.zeros(jnp.shape(key), jnp.asarray(key).dtype), rep),
+        "epoch": jax.device_put(jnp.int32(0), rep),
+        "loss": jax.device_put(jnp.zeros((steps,), jnp.float32), rep),
+        "fooling": jax.device_put(jnp.zeros((steps,), jnp.float32), rep),
+    }
+
+
+def _ckpt_save_sharded(cache, ckpt_key, d, opt_d_state, v, opt_v_state, key,
+                       epoch, loss_all, fooling_all, mesh, steps):
+    """Multi-controller checkpoint: leaves stay sharded ``jax.Array``s and
+    orbax writes each host's shards collectively (ArtifactCache.save_sharded)
+    — no gather-to-host, so it works on a DCN-spanning mesh where the
+    row-sharded v/opt_v are not addressable from one controller.
+
+    Reference analog: rank-0 ``torch.save`` (adil.py:427-428); intent-fix:
+    the full (d, v, optimizer, rng, curves) state round-trips so resume
+    reproduces the uninterrupted trajectory
+    (tests/test_dist_dp_ckpt_resume.py).
+    """
+    rep = NamedSharding(mesh, P())
+
+    def pad(lst):
+        arr = np.zeros((steps,), np.float32)
+        arr[: len(lst)] = np.asarray(lst, np.float32)
+        return jax.device_put(jnp.asarray(arr), rep)
+
+    tree = {
+        "d": d,
+        "v": v,
+        "opt_d": _mesh_placed(opt_d_state, mesh),
+        "opt_v": _mesh_placed(opt_v_state, mesh),
+        "meta": {
+            "rng": jax.device_put(jnp.asarray(key), rep),
+            "epoch": jax.device_put(jnp.int32(epoch), rep),
+            "loss": pad(loss_all),
+            "fooling": pad(fooling_all),
+        },
+    }
+    cache.save_sharded(tree, "ImageNet", **ckpt_key)
+
+
+def _ckpt_restore_sharded(cache, ckpt_key, d, opt_d_state, v, opt_v_state,
+                          key, mesh, steps):
+    """Collective restore of :func:`_ckpt_save_sharded`'s tree, using the
+    live (freshly initialized) state as the sharding template. Returns the
+    same dict shape as :func:`_ckpt_restore`, or None when absent."""
+    if not cache.exists_sharded("ImageNet", **ckpt_key):
+        return None
+    tmpl = {
+        "d": d,
+        "v": v,
+        "opt_d": _mesh_placed(opt_d_state, mesh),
+        "opt_v": _mesh_placed(opt_v_state, mesh),
+        "meta": _meta_template(mesh, key, steps),
+    }
+    restored = cache.load_sharded(tmpl, "ImageNet", **ckpt_key)
+    if restored is None:
+        return None
+    epoch = int(restored["meta"]["epoch"])
+    return {
+        "d": restored["d"],
+        "v": restored["v"],
+        "opt_d": restored["opt_d"],
+        "opt_v": restored["opt_v"],
+        "rng": restored["meta"]["rng"],
+        "epoch": epoch,
+        "loss": [float(x) for x in np.asarray(restored["meta"]["loss"])[:epoch]],
+        "fooling": [
+            float(x) for x in np.asarray(restored["meta"]["fooling"])[:epoch]
+        ],
+    }
+
+
 def _conform(tmpl, tree):
     """Reshape restored leaves to the template's shapes (same element count)
     — lets flat-layout runs resume 4-D-layout checkpoints and vice versa."""
@@ -253,6 +358,7 @@ def learn_dictionary_distributed(
     ckpt_key: Optional[dict] = None,
     resume: bool = True,
     blocked: Any = "auto",
+    ckpt_sharded: Any = "auto",
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Full DP dictionary learning. Returns (d, v_real_rows, history).
 
@@ -265,6 +371,13 @@ def learn_dictionary_distributed(
     training state is persisted every that-many epochs and restored on the
     next call (kill-and-resume reproduces the uninterrupted trajectory —
     tests/test_checkpoint_resume.py::test_mesh_resume_matches_uninterrupted).
+
+    ``ckpt_sharded``: 'auto' (default) uses the gather-to-host msgpack
+    checkpoint on a single controller and the orbax sharded collective
+    save/restore when ``jax.process_count() > 1`` (a DCN mesh cannot gather
+    the row-sharded v/opt_v to one host); True/False force either path.
+    Multi-controller kill-and-resume is proven by
+    tests/test_dist_dp_ckpt_resume.py.
     """
     images_np, _ = dataset.as_arrays()
     n = images_np.shape[0]
@@ -328,12 +441,28 @@ def learn_dictionary_distributed(
         "model": getattr(victim, "name", "model"),
         "kind": "dp_train_state_s2d" if twin is not None else "dp_train_state",
     }
+    use_sharded_ckpt = (
+        jax.process_count() > 1 if ckpt_sharded == "auto" else bool(ckpt_sharded)
+    )
     if checkpoint_every and cache is not None and resume:
-        restored = _ckpt_restore(cache, ckpt_key, opt_d_state, opt_v_state)
+        if use_sharded_ckpt:
+            restored = _ckpt_restore_sharded(
+                cache, ckpt_key, d, opt_d_state, v, opt_v_state, key, mesh,
+                cfg.steps,
+            )
+        else:
+            restored = _ckpt_restore(cache, ckpt_key, opt_d_state, opt_v_state)
         if restored is not None:
-            d_r = restored["d"].reshape(d.shape)  # accept 4-D or flat ckpts
-            d = jax.device_put(d_r, NamedSharding(mesh, P(*([None] * d.ndim))))
-            v = jax.device_put(restored["v"], NamedSharding(mesh, P(axis, None)))
+            if use_sharded_ckpt:
+                d, v = restored["d"], restored["v"]
+            else:
+                d_r = restored["d"].reshape(d.shape)  # accept 4-D or flat ckpts
+                d = jax.device_put(
+                    d_r, NamedSharding(mesh, P(*([None] * d.ndim)))
+                )
+                v = jax.device_put(
+                    restored["v"], NamedSharding(mesh, P(axis, None))
+                )
             opt_d_state, opt_v_state = restored["opt_d"], restored["opt_v"]
             key = restored["rng"]
             start_epoch = restored["epoch"]
@@ -369,13 +498,21 @@ def learn_dictionary_distributed(
             print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} "
                   f"fooling {fooling_all[-1]:.3f} val {val_fool}")
         if checkpoint_every and cache is not None and (it + 1) % checkpoint_every == 0:
-            _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state,
-                       key, it + 1, loss_all, fooling_all)
+            if use_sharded_ckpt:
+                _ckpt_save_sharded(cache, ckpt_key, d, opt_d_state, v,
+                                   opt_v_state, key, it + 1, loss_all,
+                                   fooling_all, mesh, cfg.steps)
+            else:
+                _ckpt_save(cache, ckpt_key, d, opt_d_state, v, opt_v_state,
+                           key, it + 1, loss_all, fooling_all)
         if it > 1 and abs(loss_all[-1] - loss_all[-2]) < cfg.tol:
             break
 
     if checkpoint_every and cache is not None:
-        cache.remove("ImageNet", **ckpt_key)
+        if use_sharded_ckpt:
+            cache.remove_sharded("ImageNet", **ckpt_key)
+        else:
+            cache.remove("ImageNet", **ckpt_key)
     history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
     # Replicate the row-sharded v before fetching: on a multi-host mesh the
     # sharded global array is not fully addressable from one controller

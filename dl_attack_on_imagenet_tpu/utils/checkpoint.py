@@ -103,3 +103,74 @@ class ArtifactCache:
             shutil.rmtree(p)
         elif os.path.exists(p):
             os.remove(p)
+
+    # ------------------------------------------------------------------
+    # Sharding-aware (multi-controller) checkpoints.
+    #
+    # The flat msgpack path gathers every leaf to one host, which a
+    # multi-host (DCN) mesh cannot do — a row-sharded array is not fully
+    # addressable from one controller. These methods keep leaves as
+    # sharded ``jax.Array``s: orbax writes each host's shards in a
+    # collective save and restores them to the shardings named by the
+    # abstract template. EVERY process of the mesh must call them (they
+    # contain collective barriers); the path must be on a filesystem all
+    # hosts share. Reference analog: the rank-0 ``torch.save`` of the DDP
+    # dictionary (adil.py:427-428) — which silently drops the other
+    # ranks' optimizer state; here the full sharded state round-trips.
+    # ------------------------------------------------------------------
+
+    def _sharded_path(self, prefix: str, **hyper: Any) -> str:
+        parts = [prefix] + [f"{k}_{hyper[k]}" for k in sorted(hyper)]
+        return os.path.join(
+            self.root, "_".join(str(p) for p in parts) + ".orbax_sharded"
+        )
+
+    def save_sharded(self, tree: Any, prefix: str, **hyper: Any) -> str:
+        """Collective orbax save of a pytree of (possibly sharded) arrays."""
+        import orbax.checkpoint as ocp
+
+        p = os.path.abspath(self._sharded_path(prefix, **hyper))
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(p, tree, force=True)
+        ckptr.wait_until_finished()
+        return p
+
+    def load_sharded(self, abstract_tree: Any, prefix: str, **hyper: Any):
+        """Collective restore to the shapes/dtypes/shardings of
+        ``abstract_tree`` (a pytree of ``jax.ShapeDtypeStruct`` carrying
+        ``sharding``, or of live arrays — converted internally)."""
+        import orbax.checkpoint as ocp
+
+        p = os.path.abspath(self._sharded_path(prefix, **hyper))
+        if not os.path.exists(p):
+            return None
+        abstract = jax.tree_util.tree_map(
+            lambda x: x
+            if isinstance(x, jax.ShapeDtypeStruct)
+            else jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            abstract_tree,
+        )
+        return ocp.StandardCheckpointer().restore(p, abstract)
+
+    def exists_sharded(self, prefix: str, **hyper: Any) -> bool:
+        return os.path.exists(self._sharded_path(prefix, **hyper))
+
+    def remove_sharded(self, prefix: str, **hyper: Any) -> None:
+        """Delete a sharded checkpoint. Multi-controller safe: all
+        processes synchronize, process 0 removes, all synchronize again."""
+        import shutil
+
+        multi = jax.process_count() > 1
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("artifact_remove_sharded_pre")
+        if jax.process_index() == 0:
+            p = self._sharded_path(prefix, **hyper)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("artifact_remove_sharded_post")
