@@ -14,8 +14,12 @@ targets of the 14.7 ms headline step:
    isolated cost of one link of the ~3 ms compare_select chain.
 3. maxpool fwd reduce_window and bwd select_and_scatter at the stem shape.
 
-Each item reports ms/call and the HBM-roofline bound at 819 GB/s so the
-"at its measured bound" judgment (BENCHMARKS.md round 3) is grounded.
+Measurement protocol: each op runs inside a length-REPS ``lax.scan`` whose
+carry takes a scalar data dependency on the op's result (per-dispatch
+timing is swamped by the ~1-2 ms host-dispatch gap — BENCHMARKS.md round
+2); ms/op = one dispatch of the scan / REPS. Each item also prints the
+HBM-roofline bound at 819 GB/s so the "at its measured bound" judgment
+(BENCHMARKS.md round 3) is grounded.
 """
 
 from __future__ import annotations
@@ -40,14 +44,26 @@ B = 64
 REPS = 50
 
 
-def timeit(fn, *args, reps=REPS):
-    out = fn(*args)
+def scan_time(op, x, *consts):
+    """ms per op: op(x, *consts) scanned REPS times with a scalar carry
+    dependency (x_{i+1} = x + tiny * mean(op(x_i))) so XLA cannot hoist."""
+
+    def body(carry, _):
+        out = op(carry, *consts)
+        dep = jnp.mean(out[0] if isinstance(out, tuple) else out)
+        return carry + (1e-12 * dep).astype(carry.dtype), ()
+
+    fn = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=REPS)[0])
+    out = fn(x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    out = fn(x)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1000
+    t1 = time.perf_counter()
+    out = fn(x)
+    jax.block_until_ready(out)
+    t2 = time.perf_counter()
+    return min(t1 - t0, t2 - t1) / REPS * 1000
 
 
 def conv(x, k, pad):
@@ -56,12 +72,9 @@ def conv(x, k, pad):
     )
 
 
-def input_grad_fn(k, pad, xshape):
-    def f(x, g):
-        _, vjp = jax.vjp(lambda x_: conv(x_, k, pad), x)
-        return vjp(g)[0]
-
-    return jax.jit(f)
+def input_grad(x, g, k, pad):
+    _, vjp = jax.vjp(lambda x_: conv(x_, k, pad), x)
+    return vjp(g)[0]
 
 
 def main():
@@ -73,40 +86,60 @@ def main():
     x_a = jax.random.normal(ks[0], (B, 112, 112, 12), dt)
     k_a = jax.random.normal(ks[1], (4, 4, 12, 64), dt)
     g_a = jax.random.normal(ks[2], (B, 112, 112, 64), dt)
-    f_a = input_grad_fn(k_a, ((2, 1), (2, 1)), x_a.shape)
-    ms_a = timeit(f_a, x_a, g_a)
+    ms_a = scan_time(
+        lambda x, g, k: input_grad(x, g, k, ((2, 1), (2, 1))), x_a, g_a, k_a
+    )
 
     # (b) 4x4-blocked stem, 2x2-blocked output
     x_b = jax.random.normal(ks[3], (B, 56, 56, 48), dt)
     k_b = jax.random.normal(ks[4], (3, 3, 48, 256), dt)
     g_b = jax.random.normal(ks[5], (B, 56, 56, 256), dt)
-    f_b = input_grad_fn(k_b, ((1, 1), (1, 1)), x_b.shape)
-    ms_b = timeit(f_b, x_b, g_b)
+    ms_b = scan_time(
+        lambda x, g, k: input_grad(x, g, k, ((1, 1), (1, 1))), x_b, g_b, k_b
+    )
 
     # (c) per-parity split: 4 convs (2,2,48,64), gradients summed
     k_c = jax.random.normal(ks[6], (4, 2, 2, 48, 64), dt)
+    g_c = jax.random.normal(ks[7], (4, B, 56, 56, 64), dt)
 
-    def multi(x, g4):
+    def multi(x, g4, k4):
         tot = None
         for p in range(4):
-            _, vjp = jax.vjp(
-                lambda x_: conv(x_, k_c[p], ((1, 0), (1, 0))), x
-            )
-            gi = vjp(g4[p])[0]
+            gi = input_grad(x, g4[p], k4[p], ((1, 0), (1, 0)))
             tot = gi if tot is None else tot + gi
         return tot
 
-    g_c = jax.random.normal(ks[7], (4, B, 56, 56, 64), dt)
-    f_c = jax.jit(multi)
-    ms_c = timeit(f_c, x_b, g_c)
+    ms_c = scan_time(multi, x_b, g_c, k_c)
+
+    # (d) packed stride-2 transposed conv: g_out (112,112,64) -> g_in in a
+    # 4x4-blocked (56,56,48) layout in ONE conv — output channels 48 instead
+    # of 12, no change to the forward or the pool. (+ (e): the 0.09 ms-class
+    # transpose back to the 2x2 layout, i.e. a drop-in backward replacement.)
+    k_d = jax.random.normal(ks[4], (5, 5, 64, 48), dt)
+
+    def packed(g, k):
+        return jax.lax.conv_general_dilated(
+            g, k, (2, 2), ((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    ms_d = scan_time(packed, g_a, k_d)
+
+    def packed_t(g, k):
+        y = packed(g, k)  # (B, 56, 56, 48) = (56,56,2,2,12) block-parity
+        y = y.reshape(B, 56, 56, 2, 2, 12)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 112, 112, 12)
+        return y
+
+    ms_e = scan_time(packed_t, g_a, k_d)
 
     # (2) relu-bwd at stage-1 shape
     y = jax.nn.relu(jax.random.normal(ks[0], (B, 56, 56, 256), dt))
     g = jax.random.normal(ks[1], (B, 56, 56, 256), dt)
-    f_r = jax.jit(lambda y_, g_: jnp.where(y_ > 0, g_, jnp.zeros_like(g_)))
-    ms_r = timeit(f_r, y, g)
-    bytes_r = 3 * y.size * 2
-    bound_r = bytes_r / 819e9 * 1e3
+    ms_r = scan_time(
+        lambda g_, y_: jnp.where(y_ > 0, g_, jnp.zeros_like(g_)), g, y
+    )
+    bound_r = 3 * y.size * 2 / 819e9 * 1e3
 
     # (3) maxpool fwd/bwd at the stem shape
     import flax.linen as nn
@@ -116,8 +149,8 @@ def main():
     def pool(x):
         return nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
-    f_pf = jax.jit(pool)
-    ms_pf = timeit(f_pf, xp)
+    ms_pf = scan_time(pool, xp)
+    bound_pf = (xp.size + xp.size // 4) * 2 / 819e9 * 1e3
 
     gp = jax.random.normal(ks[3], (B, 56, 56, 64), dt)
 
@@ -125,8 +158,8 @@ def main():
         _, vjp = jax.vjp(pool, x)
         return vjp(g_)[0]
 
-    f_pb = jax.jit(pool_bwd)
-    ms_pb = timeit(f_pb, xp, gp)
+    ms_pb = scan_time(pool_bwd, xp, gp)
+    bound_pb = (2 * xp.size + 2 * (xp.size // 4)) * 2 / 819e9 * 1e3
 
     flops_exact = 2 * B * 112 * 112 * 49 * 3 * 64  # the true 7x7/s2 stem grad
     print("stem input-grad (exact math = %.1f GFLOP):" % (flops_exact / 1e9))
@@ -134,10 +167,14 @@ def main():
           f"({flops_exact/ms_a/1e9:.1f} TF/s effective)")
     print(f"  (b) 4x4-blocked (3,3,48,256):   {ms_b:7.3f} ms")
     print(f"  (c) 4x per-parity (2,2,48,64):  {ms_c:7.3f} ms")
+    print(f"  (d) packed s2 (5,5,64,48):      {ms_d:7.3f} ms")
+    print(f"  (e) (d) + unblock transpose:    {ms_e:7.3f} ms")
     print(f"relu-bwd (64,56,56,256) bf16:     {ms_r:7.3f} ms  "
           f"(HBM bound {bound_r:.3f} ms at 819 GB/s)")
-    print(f"maxpool fwd reduce_window:        {ms_pf:7.3f} ms")
-    print(f"maxpool bwd (select_and_scatter): {ms_pb:7.3f} ms")
+    print(f"maxpool fwd reduce_window:        {ms_pf:7.3f} ms  "
+          f"(HBM bound {bound_pf:.3f} ms)")
+    print(f"maxpool bwd (select_and_scatter): {ms_pb:7.3f} ms  "
+          f"(HBM bound {bound_pb:.3f} ms)")
 
 
 if __name__ == "__main__":
