@@ -177,6 +177,53 @@ def main(only=()):
         record("deepfool_cosinus_b16_maxiter10", dt, "s/batch",
                f"fast_uap.py:113-214; {16/dt:.1f} img/s")
 
+    # --- Fast-UAP END-TO-END epoch (class API: gate + lockstep DeepFool +
+    # ordered increment folding) — the chunked-vs-serial A/B VERDICT r2 #7
+    # asked to measure (fast_uap.py:74-91 is strictly per-image).
+    if want("fastuap_e2e"):
+        import tempfile
+
+        from dl_attack_on_imagenet_tpu.attacks.fast_uap import FastUAP
+        from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+        n = 64
+        xN = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (n, SIZE, SIZE, 3)))
+        yN = np.asarray(core.predict_labels(apply_fn, variables, jnp.asarray(xN)))
+        for chunk in (16, 1):
+            atk = FastUAP(victim, steps=1, steps_deepfool=10, chunk=chunk,
+                          cache=ArtifactCache(tempfile.mkdtemp()))
+            atk.learn_attack((xN[:8], yN[:8]), None)  # bear the compiles
+            t0 = time.perf_counter()
+            atk.learn_attack((xN, yN), None)
+            dt = time.perf_counter() - t0
+            record(f"fastuap_e2e_epoch_n{n}_chunk{chunk}", dt,
+                   "s/epoch (1 epoch, df<=10)",
+                   f"fast_uap.py:58-97 end-to-end; {n/dt:.1f} img/s")
+
+    # --- universal_perturbation (Moosavi) END-TO-END pass, chunked A/B
+    if want("universal_e2e"):
+        from dl_attack_on_imagenet_tpu.attacks.universal_pert import (
+            universal_perturbation,
+        )
+
+        n = 64
+        xN = np.asarray(jax.random.uniform(jax.random.PRNGKey(8), (n, SIZE, SIZE, 3)))
+        yN = np.asarray(core.predict_labels(apply_fn, variables, jnp.asarray(xN)))
+        for chunk in (8, 1):
+            universal_perturbation(  # bear the compiles on a small slice
+                (xN[:8], yN[:8]), (xN[:8], yN[:8]), victim,
+                max_iter_uni=1, num_classes=10, max_iter_df=10, chunk=chunk,
+            )
+            t0 = time.perf_counter()
+            universal_perturbation(
+                (xN, yN), (xN[:16], yN[:16]), victim,
+                max_iter_uni=1, num_classes=10, max_iter_df=10, chunk=chunk,
+            )
+            dt = time.perf_counter() - t0
+            record(f"universal_pert_pass_n{n}_chunk{chunk}", dt,
+                   "s/pass (1 uni-iter, df<=10)",
+                   f"universal_pert.py:25-115 end-to-end; {n/dt:.1f} img/s")
+
     # --- ADiL inference modes (trained-dict attack path, adil.py:432-655)
     acfg = AdilConfig(eps=8 / 255, n_atoms=100, loss="ce", steps_inference=30)
     d100 = jax.random.uniform(jax.random.PRNGKey(5), (100, SIZE, SIZE, 3), minval=-1, maxval=1)
