@@ -37,10 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--results-dir", default="dict_model_ImageNet_version_constrained")
     p.add_argument("--synthetic", type=int, default=0,
                    help=">0: use a synthetic dataset of this size + tiny victim")
-    p.add_argument("--input-size", type=int, default=224,
-                   help="victim input size. Default 224 matches the "
+    p.add_argument("--input-size", type=int, default=None,
+                   help="victim input size. Default resolves to the "
                         "reference's blanket Resize(256)+CenterCrop(224) "
-                        "transform fed to EVERY victim including "
+                        "transform fed to EVERY ImageNet victim including "
                         "inception_v3 (DS_ImageNet.py:14-18, main.py:47-48); "
                         "pass 299 for Inception's native size")
     # TPU performance knobs (BENCHMARKS.md; defaults keep the reference
@@ -86,9 +86,14 @@ def main(args) -> dict:
                       f"ignored for '{args.model}'")
         # Blanket input size for every victim (incl. inception) — the
         # reference's single dataset transform (DS_ImageNet.py:14-18).
+        from ..models import blanket_input_size
+
         victim = create_model(
             args.model, rng=rng,
-            input_size=getattr(args, "input_size", 224), **victim_kwargs,
+            input_size=blanket_input_size(
+                args.model, getattr(args, "input_size", None)
+            ),
+            **victim_kwargs,
         )
         folder = load_imagenet(args.data_root)
         dataset = folder.materialize()

@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save-images", action="store_true",
                    help="write adversarial PNGs (default: metrics only)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--input-size", type=int, default=None,
+                   help="victim input size; default resolves to the "
+                        "reference's blanket 224 crop for every ImageNet "
+                        "victim incl. inception (DS_ImageNet.py:14-18), "
+                        "native size for the tiny test victim")
     return p
 
 
@@ -52,7 +57,12 @@ def main(args) -> dict:
     from ..models import create_model
     from ..utils import ArtifactCache, MetricLogger
 
-    victim = create_model(args.model, rng=jax.random.PRNGKey(args.seed))
+    from ..models import blanket_input_size
+
+    victim = create_model(
+        args.model, rng=jax.random.PRNGKey(args.seed),
+        input_size=blanket_input_size(args.model, getattr(args, "input_size", None)),
+    )
     attack = ADIL(
         victim, eps=args.eps, model_name=args.model, attack=args.mode,
         steps_inference=args.steps_inference, cache=ArtifactCache(args.dict_dir),

@@ -34,10 +34,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dict-dir", default="trained_dicts")
     p.add_argument("--out", default="attack_samples.png")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--input-size", type=int, default=224,
-                   help="victim input size; 224 is the reference's blanket "
-                        "crop for every victim incl. inception "
-                        "(DS_ImageNet.py:14-18)")
+    p.add_argument("--input-size", type=int, default=None,
+                   help="victim input size; default resolves to the "
+                        "reference's blanket 224 crop for every ImageNet "
+                        "victim incl. inception (DS_ImageNet.py:14-18), "
+                        "native size for the tiny test victim; pass 299 "
+                        "for Inception's native size")
     return p
 
 
@@ -47,9 +49,11 @@ def main(args) -> str:
     from ..models import create_model
     from ..utils import ArtifactCache
 
+    from ..models import blanket_input_size
+
     victim = create_model(
         args.model, rng=jax.random.PRNGKey(args.seed),
-        input_size=getattr(args, "input_size", 224),
+        input_size=blanket_input_size(args.model, getattr(args, "input_size", None)),
     )
 
     classes = None

@@ -52,6 +52,23 @@ MODEL_REGISTRY = {
 }
 
 
+def blanket_input_size(name: str, override: Optional[int] = None) -> Optional[int]:
+    """Resolve the CLI input size to the reference's operating point.
+
+    The reference feeds ONE blanket Resize(256)+CenterCrop(224) transform
+    to every victim including inception_v3 (DS_ImageNet.py:14-18,
+    main.py:47-48), so ImageNet-scale victims default to 224; small test
+    victims (tiny, 32x32) keep their native size; an explicit ``override``
+    always wins (e.g. 299 for Inception's native input).
+    """
+    if override:
+        return override
+    entry = MODEL_REGISTRY.get(name.lower())
+    if entry is not None and entry[1] >= 224:
+        return 224
+    return None
+
+
 @dataclasses.dataclass
 class VictimModel:
     """A frozen classifier over [0,1] NHWC images.
@@ -193,6 +210,7 @@ def blocked_twin(victim: VictimModel):
 __all__ = [
     "MODEL_REGISTRY",
     "VictimModel",
+    "blanket_input_size",
     "create_model",
     "blocked_twin",
     "Normalize",

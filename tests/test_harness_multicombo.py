@@ -119,18 +119,26 @@ def test_cross_group_key_collision_gets_suffix(victim, loader):
 
 
 def test_cli_blanket_224_default():
-    """Both CLIs default --input-size to 224 for every victim, matching the
-    reference's single dataset transform (DS_ImageNet.py:14-18)."""
+    """All three CLIs resolve the default input size to the reference's
+    blanket 224 for every ImageNet victim incl. inception
+    (DS_ImageNet.py:14-18), keep the tiny test victim at its native size,
+    and honor an explicit override."""
     from dl_attack_on_imagenet_tpu.cli import demo as demo_cli
+    from dl_attack_on_imagenet_tpu.cli import generate as generate_cli
     from dl_attack_on_imagenet_tpu.cli import main as main_cli
+    from dl_attack_on_imagenet_tpu.models import blanket_input_size
 
-    for mod in (demo_cli, main_cli):
+    for mod in (demo_cli, main_cli, generate_cli):
         args = mod.build_argparser().parse_args(["--model", "inception_v3"])
-        assert args.input_size == 224
+        assert blanket_input_size("inception_v3", args.input_size) == 224
         args299 = mod.build_argparser().parse_args(
             ["--model", "inception_v3", "--input-size", "299"]
         )
-        assert args299.input_size == 299
+        assert blanket_input_size("inception_v3", args299.input_size) == 299
+    # Every ImageNet victim pins to 224; the 32x32 test victim does not.
+    assert blanket_input_size("resnet18", None) == 224
+    assert blanket_input_size("inception", None) == 224
+    assert blanket_input_size("tiny", None) is None
 
 
 def test_create_model_inception_blanket_224():
