@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--root", default="/tmp/synth_ilsvrc")
     ap.add_argument("--victim", default="resnet50")
     ap.add_argument("--skip-streamed", action="store_true")
+    ap.add_argument("--skip-loader-only", action="store_true",
+                    help="skip phase 2 (already measured at this n)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -125,17 +127,19 @@ def main():
     print("device ready", flush=True)
 
     # --- 2. loader-only decode throughput -------------------------------
-    paths = [p for p, _ in folder.samples]
-    loader = HostLoader(runtime, paths, [0] * args.n, args.batch, 224, shuffle=True)
-    t0 = time.perf_counter()
-    seen = 0
-    for _, x, labs, idxs in loader.iter_indexed():
-        seen += x.shape[0]
-    loader.close()
-    dt_loader = time.perf_counter() - t0
-    out["loader_only_img_s"] = round(seen / dt_loader, 1)
-    print(f"loader-only: {seen} imgs in {dt_loader:.2f}s = "
-          f"{out['loader_only_img_s']} img/s", flush=True)
+    if not args.skip_loader_only:
+        paths = [p for p, _ in folder.samples]
+        loader = HostLoader(runtime, paths, [0] * args.n, args.batch, 224,
+                            shuffle=True)
+        t0 = time.perf_counter()
+        seen = 0
+        for _, x, labs, idxs in loader.iter_indexed():
+            seen += x.shape[0]
+        loader.close()
+        dt_loader = time.perf_counter() - t0
+        out["loader_only_img_s"] = round(seen / dt_loader, 1)
+        print(f"loader-only: {seen} imgs in {dt_loader:.2f}s = "
+              f"{out['loader_only_img_s']} img/s", flush=True)
 
     # --- 3. native end-to-end training ----------------------------------
     cache = ArtifactCache("/tmp/config4_dicts")
@@ -151,9 +155,10 @@ def main():
     out["native_epoch_steady_s"] = round(steady, 2) if steady else None
     if steady:
         out["native_img_s"] = round(args.n / steady, 1)
-        out["device_utilization_vs_loader"] = round(
-            (args.n / steady) / out["loader_only_img_s"], 3
-        )
+        if "loader_only_img_s" in out:
+            out["device_utilization_vs_loader"] = round(
+                (args.n / steady) / out["loader_only_img_s"], 3
+            )
     print(f"native train: total {dt_total:.1f}s, steady epoch "
           f"{steady and round(steady,2)}s -> {out.get('native_img_s')} img/s",
           flush=True)

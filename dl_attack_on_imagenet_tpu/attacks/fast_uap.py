@@ -44,7 +44,7 @@ class FastUAP(Attack):
         steps_deepfool: int = 50,
         model_name: Optional[str] = None,
         cache: Optional[ArtifactCache] = None,
-        chunk: int = 16,
+        chunk: int = 1,
         verbose: bool = False,
     ):
         super().__init__(victim, "FastUAP", targeted=False)
@@ -98,11 +98,19 @@ class FastUAP(Attack):
             # forward for the gate, one lockstep DeepFool over the gated
             # subset via active_init), then the accepted increments fold in
             # image order with the projection between folds — exactly the
-            # reference's accumulation. chunk=1 reproduces the reference's
-            # strictly sequential trajectory (each image's gate sees every
-            # earlier fold); larger chunks evaluate the gate against the
-            # chunk-start perturbation (round-3 batching, VERDICT #7) —
-            # measured equivalent fooling at a fraction of the dispatches.
+            # reference's accumulation. chunk=1 (default) reproduces the
+            # reference's strictly sequential trajectory (each image's gate
+            # sees every earlier fold); larger chunks evaluate the gate
+            # against the chunk-start perturbation (VERDICT r2 #7).
+            # Measured on the v5e (benchmarks/attack_family_bench.py
+            # fastuap_e2e, n=64, df<=10): chunk=1 4.4 s/epoch vs chunk=16
+            # 26.8 s — sequential WINS, because each fold's increment fools
+            # later images before they are processed (their gate then skips
+            # the DeepFool solve entirely), while a chunk gates against the
+            # stale chunk-start perturbation and pays the full lockstep
+            # solve whenever any image is active. Batch-1 sequencing is
+            # required for speed as well as fidelity; chunk stays a knob
+            # for slow-dispatch hosts.
             for s in range(0, n, self.chunk):
                 x = images[s : s + self.chunk]
                 pert = x + attack[None]

@@ -41,7 +41,7 @@ def universal_perturbation(
     seed: int = 0,
     verbose: bool = False,
     save_path: Optional[str] = None,
-    chunk: int = 8,
+    chunk: int = 1,
 ) -> Tuple[jax.Array, list]:
     """Returns (perturbation (H,W,C), fooling-rate history).
 
@@ -52,9 +52,15 @@ def universal_perturbation(
     #7): the clean/perturbed predictions for a chunk come from two batched
     forwards, DeepFool runs lockstep over the gated subset (``active_init``),
     and accepted increments fold in image order with the projection between
-    folds. ``chunk=1`` reproduces the reference's strictly sequential
-    trajectory (universal_pert.py:55-110) exactly; larger chunks gate
-    against the chunk-start perturbation.
+    folds. ``chunk=1`` (default) reproduces the reference's strictly
+    sequential trajectory (universal_pert.py:55-110) exactly; larger chunks
+    gate against the chunk-start perturbation. Measured on the v5e
+    (benchmarks/attack_family_bench.py universal_e2e, n=64, df<=10):
+    chunk=1 5.8 s/pass vs chunk=8 13.5 s — sequential wins because the
+    accumulated perturbation fools later images before their turn (gate
+    skips the solve), while a chunk gates against the stale pass-start
+    perturbation and always pays the lockstep solve; chunk stays a knob
+    for slow-dispatch hosts.
     """
     train = as_array_dataset(data_train)
     val = as_array_dataset(data_val)
