@@ -36,6 +36,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--n", type=int, default=256)
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable the depth-1 epoch pipeline (A/B)")
     args = p.parse_args()
 
     victim = create_model(
@@ -51,6 +53,7 @@ def main():
         victim, eps=8 / 255, norm="linf", steps=args.steps, n_atoms=100,
         batch_size=64, loss="logits", kappa=50.0, val_every=None,
         cache=ArtifactCache(tempfile.mkdtemp()), perturb_dtype="bfloat16",
+        pipeline_epochs=not args.no_pipeline,
     )
     t0 = time.perf_counter()
     atk.learn_dictionary(ds)

@@ -13,6 +13,7 @@ Known reference defects are implemented by documented intent, not crash
 
 from __future__ import annotations
 
+import time
 from typing import Any, Optional
 
 import jax
@@ -98,6 +99,7 @@ class ADIL(Attack):
         metrics_log: Optional[str] = None,
         blocked: Any = "auto",
         perturb_dtype: str = "float32",
+        pipeline_epochs: bool = True,
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -138,6 +140,17 @@ class ADIL(Attack):
         # (BENCHMARKS.md round 2). Artifacts/inference always see the
         # standard (K, H, W, C) presentation dictionary.
         self.blocked = blocked
+        # pipeline_epochs: depth-1 software pipelining of the resident-array
+        # training loop — epoch t+1 is dispatched BEFORE epoch t's loss is
+        # read back, so the per-epoch host work (batch permutation, preslice
+        # dispatch, metric readback round-trips) overlaps device compute
+        # instead of serializing with it. The trajectory is EXACTLY the
+        # serial one: the convergence rule (adil.py:207) still stops on
+        # epoch t's state via a rolling device-side snapshot taken before
+        # the state is donated into epoch t+1 (tests/test_epoch_pipeline.py).
+        # Costs one extra resident copy of (state, presliced epoch) in HBM;
+        # disable for datasets at the memory edge.
+        self.pipeline_epochs = pipeline_epochs
         from ..utils import MetricLogger
 
         self.metrics = MetricLogger(metrics_log)
@@ -395,30 +408,76 @@ class ADIL(Attack):
                 if self.verbose:
                     print(f"[adil gd] resumed at epoch {start_epoch}")
 
-        for it in range(start_epoch, self.cfg.steps):
-            key, sub = jax.random.split(key)
-            batches = core.make_batches(sub, n, self.cfg.batch_size)
-            xs, labels_b, idx_b = core.preslice_epoch(images, labels, batches)
-            with timer.step(), annotate("adil/epoch"):
-                state, loss, fooling = epoch_fn(
-                    state, variables, xs, labels_b, idx_b
-                )
-                jax.block_until_ready(loss)
+        def process(t, loss, fooling, key_t, state_after):
+            """Host bookkeeping for epoch t (forces the device scalars).
+
+            Returns True when the reference's convergence rule fires
+            (adil.py:207) — the caller then adopts ``state_after`` (the
+            state right after epoch t) as the final state, exactly as the
+            serial loop would.
+            """
+            nonlocal val_fool
             loss_all.append(float(loss) / n)
             fooling_all.append(float(fooling) / n)
-            if data_val is not None and self.val_every and (it + 1) % self.val_every == 0:
+            if data_val is not None and self.val_every and (t + 1) % self.val_every == 0:
                 val_fool = self._val_fooling(
-                    self._present_d(state.d, ds.image_shape), data_val
+                    self._present_d(state_after.d, ds.image_shape), data_val
                 )
-            self.metrics.log(it, loss=loss_all[-1], fooling=fooling_all[-1],
+            self.metrics.log(t, loss=loss_all[-1], fooling=fooling_all[-1],
                              val_fooling=val_fool if val_fool is not None else float("nan"))
             if self.verbose:
-                print(f"[adil gd] epoch {it} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
-            if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
-                self._save_train_state(state, key, loss_all, fooling_all)
+                print(f"[adil gd] epoch {t} loss {loss_all[-1]:.4f} fooling {fooling_all[-1]:.3f} val {val_fool}")
+            if self.checkpoint_every and (t + 1) % self.checkpoint_every == 0:
+                self._save_train_state(state_after, key_t, loss_all, fooling_all)
             # Convergence: |Δloss| < tol (adil.py:207).
-            if it > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol:
-                break
+            return t > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol
+
+        if self.pipeline_epochs:
+            # Depth-1 pipeline: dispatch epoch t, THEN force epoch t-1's
+            # scalars — the per-epoch host work (batch permutation +
+            # preslice dispatch + readback round-trips, ~40 ms on the
+            # tunnel) overlaps device compute instead of stalling it.
+            # Exactness: epoch t-1's post-state is snapshotted (device-side
+            # copy) before its buffers are donated into epoch t, so a
+            # convergence stop at t-1 returns precisely the serial state.
+            pending = None  # (t, loss, fooling, key_after_split_t)
+            snap = None
+            t_mark = time.perf_counter()
+            stopped = False
+            for it in range(start_epoch, self.cfg.steps):
+                key, sub = jax.random.split(key)
+                batches = core.make_batches(sub, n, self.cfg.batch_size)
+                xs, labels_b, idx_b = core.preslice_epoch(images, labels, batches)
+                if pending is not None:
+                    snap = jax.tree_util.tree_map(jnp.copy, state)
+                with annotate("adil/epoch"):
+                    state, loss, fooling = epoch_fn(
+                        state, variables, xs, labels_b, idx_b
+                    )
+                if pending is not None:
+                    stop = process(*pending, state_after=snap)
+                    now = time.perf_counter()
+                    timer.record(now - t_mark)
+                    t_mark = now
+                    if stop:
+                        state, stopped = snap, True
+                        break
+                pending = (it, loss, fooling, key)
+            if pending is not None and not stopped:
+                process(*pending, state_after=state)
+                timer.record(time.perf_counter() - t_mark)
+        else:
+            for it in range(start_epoch, self.cfg.steps):
+                key, sub = jax.random.split(key)
+                batches = core.make_batches(sub, n, self.cfg.batch_size)
+                xs, labels_b, idx_b = core.preslice_epoch(images, labels, batches)
+                with timer.step(), annotate("adil/epoch"):
+                    state, loss, fooling = epoch_fn(
+                        state, variables, xs, labels_b, idx_b
+                    )
+                    jax.block_until_ready(loss)
+                if process(it, loss, fooling, key, state_after=state):
+                    break
 
         self.timing = timer.summary()
         self._save(self._present_d(state.d, ds.image_shape), state.v, {
@@ -503,6 +562,15 @@ class ADIL(Attack):
                     )
 
             loss_sum, fool_sum = 0.0, 0.0
+            # Bounded-window async readback: the old per-step float(loss)
+            # forced a host round-trip between consecutive steps, fully
+            # serializing transfer -> compute -> readback. Deferring each
+            # step's scalars by `window` steps keeps the device queue and
+            # the H2D lookahead busy while still bounding the in-flight
+            # batch buffers (~window x batch bytes of HBM). The sums are
+            # identical floats in identical order.
+            window = 8
+            pend: "list" = []
             with timer.step(), annotate("adil/epoch_streamed"):
                 for x, lab, idx, mask in prefetch_to_device(
                     host_batches(self.seed + it), size=2
@@ -510,8 +578,14 @@ class ADIL(Attack):
                     state, loss, fooling = step_fn(
                         state, self.victim.variables, x, lab, idx, mask
                     )
-                    loss_sum += float(loss)
-                    fool_sum += float(fooling)
+                    pend.append((loss, fooling))
+                    if len(pend) > window:
+                        l0, f0 = pend.pop(0)
+                        loss_sum += float(l0)
+                        fool_sum += float(f0)
+                for l0, f0 in pend:
+                    loss_sum += float(l0)
+                    fool_sum += float(f0)
             state = state.replace(epoch=state.epoch + 1)
             loss_all.append(loss_sum / n)
             fooling_all.append(fool_sum / n)
@@ -603,13 +677,24 @@ class ADIL(Attack):
                     yield x, np.maximum(labs, 0), idx, mask
 
             loss_sum, fool_sum = 0.0, 0.0
+            # Same bounded-window async readback as the streamed path (see
+            # _learn_gd_streamed): keeps the decode thread + H2D lookahead
+            # fed instead of stalling them on a per-step readback.
+            window = 8
+            pend: "list" = []
             with timer.step(), annotate("adil/epoch_native"):
                 for x, lab, idx, mask in prefetch_to_device(host_batches(), size=2):
                     state, loss, fooling = step_fn(
                         state, self.victim.variables, x, lab, idx, mask
                     )
-                    loss_sum += float(loss)
-                    fool_sum += float(fooling)
+                    pend.append((loss, fooling))
+                    if len(pend) > window:
+                        l0, f0 = pend.pop(0)
+                        loss_sum += float(l0)
+                        fool_sum += float(f0)
+                for l0, f0 in pend:
+                    loss_sum += float(l0)
+                    fool_sum += float(f0)
             loader.close()
             state = state.replace(epoch=state.epoch + 1)
             loss_all.append(loss_sum / n)

@@ -66,6 +66,17 @@ class StepTimer:
         if self._count > self.warmup:
             self.times.append(elapsed)
 
+    def record(self, elapsed: float) -> None:
+        """Record an externally measured step duration (same warmup rule).
+
+        Used by pipelined loops where a ``with timer.step()`` block would
+        time only the async dispatch: the caller measures completion-to-
+        completion deltas instead and feeds them here.
+        """
+        self._count += 1
+        if self._count > self.warmup:
+            self.times.append(elapsed)
+
     @property
     def mean(self) -> float:
         return sum(self.times) / len(self.times) if self.times else float("nan")
