@@ -265,6 +265,16 @@ class UAPPGD(Attack):
         if data_val is not None:
             val_images = jnp.asarray(as_array_dataset(data_val).images, jnp.float32)
 
+        # Deferred loss readback: nothing host-side consumes the epoch loss
+        # (no convergence rule on this path — the reference runs all epochs,
+        # uappgd.py:89), so the per-epoch float() only stalls the dispatch
+        # queue. Keep device scalars and force them after the loop, with a
+        # bounded window so queue depth stays finite. Measured on chip at
+        # N=256/b64/ResNet-50: ~1% (583 -> 578 ms/epoch) — each epoch is one
+        # big device call, so the recovered overlap is only host dispatch;
+        # the win grows as epochs shrink. Per-epoch val fooling / verbose
+        # prints still synchronize when requested.
+        window = 64
         for it in range(self.steps):
             key, sub = jax.random.split(key)
             if self.mesh is not None:
@@ -279,7 +289,9 @@ class UAPPGD(Attack):
             e, opt_state, loss, fooling = epoch_fn(
                 e, opt_state, images, labels, batches
             )
-            loss_track.append(float(loss))
+            loss_track.append(loss)
+            if len(loss_track) > window:
+                jax.block_until_ready(loss_track[-window])
             if val_images is not None:
                 fooling_rate.append(
                     additive_fooling_rate(self.victim.apply_fn, self._vars, e, val_images)
@@ -287,6 +299,7 @@ class UAPPGD(Attack):
             if self.verbose:
                 print(f"[uappgd] epoch {it} train_fool {float(fooling)/n:.3f} "
                       f"val_fool {fooling_rate[-1] if fooling_rate else None}")
+        loss_track = [float(l) for l in loss_track]
 
         self.attack_vec = jnp.asarray(e)
         self.history = {"loss": loss_track, "fooling_rate": fooling_rate}
