@@ -73,15 +73,27 @@ def uap_loss(apply_fn, variables, e, x, y, mask, beta: float):
     return loss, fooling
 
 
-def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
-    """One epoch over resident (images, labels) as a jitted scan.
+def _make_optimizer(optimizer: str, step_size: float):
+    if optimizer == "sgd":
+        return optax.sgd(step_size)
+    return optax.adam(step_size)
 
-    With ``mesh`` set, the scan runs under shard_map with rows sharded and
-    e's gradient psum-reduced (the DDP all-reduce, uappgd.py:128/:151-154).
+
+@functools.lru_cache(maxsize=None)
+def _uap_epoch_cache(apply_fn, optimizer: str, step_size: float, norm: str,
+                     mesh, axis: str):
+    """Jitted UAP-PGD epoch shared across UAPPGD instances.
+
+    Victim variables and the beta/eps hypers are traced arguments, so
+    repeated instances (a hyper sweep, or the reference driver constructing
+    one attack per victim/eps combo, demo_dL_attack.py:71-90) reuse ONE
+    trace+compile per (victim, optimizer, step, norm) — the per-instance
+    re-trace was ~15 s wall against an 86 ms epoch (BENCHMARKS.md round 3).
+    Same pattern as adil.py::_solver_cache / adil_core.py::_swept_epoch_cache.
     """
-    opt = cfg.make_optimizer()
+    opt = _make_optimizer(optimizer, step_size)
 
-    def epoch_body(e, opt_state, images, labels, batches):
+    def epoch_body(e, opt_state, variables, images, labels, batches, beta, eps):
         def body(carry, batch_idx):
             e, opt_state = carry
             mask = (batch_idx >= 0).astype(jnp.float32)
@@ -89,7 +101,7 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
             x, y = images[idx], labels[idx]
 
             (loss, fooling), g = jax.value_and_grad(
-                lambda e_: uap_loss(apply_fn, cfg._vars, e_, x, y, mask, cfg.beta),
+                lambda e_: uap_loss(apply_fn, variables, e_, x, y, mask, beta),
                 has_aux=True,
             )(e)
             if mesh is not None:
@@ -101,7 +113,7 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
                 loss = jax.lax.pmean(loss, axis)
                 fooling = jax.lax.psum(fooling, axis)
             updates, opt_state = opt.update(g, opt_state, e)
-            e = project_uap(optax.apply_updates(e, updates), cfg.eps, cfg.norm)
+            e = project_uap(optax.apply_updates(e, updates), eps, norm)
             return (e, opt_state), (loss, fooling)
 
         (e, opt_state), (losses, fools) = jax.lax.scan(
@@ -112,21 +124,67 @@ def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
     if mesh is None:
         return jax.jit(epoch_body)
 
-    def run(e, opt_state, images, labels, batches):
+    def run(e, opt_state, variables, images, labels, batches, beta, eps):
         # batches: (n_dev, nb, B_local) -> local (1, nb, B)
-        def shard_body(e, opt_state, images, labels, batches):
-            return epoch_body(e, opt_state, images, labels, batches[0])
+        def shard_body(e, opt_state, variables, images, labels, batches,
+                       beta, eps):
+            return epoch_body(e, opt_state, variables, images, labels,
+                              batches[0], beta, eps)
 
         fn = jax.shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
-        return fn(e, opt_state, images, labels, batches)
+        return fn(e, opt_state, variables, images, labels, batches, beta, eps)
 
     return jax.jit(run)
+
+
+def make_uap_epoch_fn(apply_fn, cfg: "UAPPGD", mesh=None, axis: str = "data"):
+    """One epoch over resident (images, labels) as a jitted scan.
+
+    With ``mesh`` set, the scan runs under shard_map with rows sharded and
+    e's gradient psum-reduced (the DDP all-reduce, uappgd.py:128/:151-154).
+    The underlying compile is shared across instances via
+    :func:`_uap_epoch_cache`.
+    """
+    run = _uap_epoch_cache(apply_fn, cfg.optimizer, float(cfg.step_size),
+                           cfg.norm, mesh, axis)
+    variables, beta, eps = cfg._vars, cfg.beta, cfg.eps
+
+    def epoch_fn(e, opt_state, images, labels, batches):
+        return run(e, opt_state, variables, images, labels, batches, beta, eps)
+
+    return epoch_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _uap_presliced_cache(apply_fn, optimizer: str, step_size: float, norm: str):
+    opt = _make_optimizer(optimizer, step_size)
+
+    @jax.jit
+    def run(e, opt_state, variables, xs, ys, idx_b, beta, eps):
+        def body(carry, batch):
+            e, opt_state = carry
+            x, y, batch_idx = batch
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            (loss, fooling), g = jax.value_and_grad(
+                lambda e_: uap_loss(apply_fn, variables, e_, x, y, mask, beta),
+                has_aux=True,
+            )(e)
+            updates, opt_state = opt.update(g, opt_state, e)
+            e = project_uap(optax.apply_updates(e, updates), eps, norm)
+            return (e, opt_state), (loss, fooling)
+
+        (e, opt_state), (losses, fools) = jax.lax.scan(
+            body, (e, opt_state), (xs, ys, idx_b)
+        )
+        return e, opt_state, jnp.sum(losses), jnp.sum(fools)
+
+    return run
 
 
 def make_uap_epoch_fn_presliced(apply_fn, cfg: "UAPPGD"):
@@ -136,30 +194,17 @@ def make_uap_epoch_fn_presliced(apply_fn, cfg: "UAPPGD"):
     slices actual batch tensors off the leading axis instead of gathering
     rows from the resident dataset every step (the same win as ADiL's
     pre-sliced epochs, tests/test_train_scan.py). Math identical to
-    :func:`make_uap_epoch_fn` on the same batches.
+    :func:`make_uap_epoch_fn` on the same batches; compile shared across
+    instances like the gather epoch.
     """
-    opt = cfg.make_optimizer()
+    run = _uap_presliced_cache(apply_fn, cfg.optimizer, float(cfg.step_size),
+                               cfg.norm)
+    variables, beta, eps = cfg._vars, cfg.beta, cfg.eps
 
-    @jax.jit
-    def run(e, opt_state, xs, ys, idx_b):
-        def body(carry, batch):
-            e, opt_state = carry
-            x, y, batch_idx = batch
-            mask = (batch_idx >= 0).astype(jnp.float32)
-            (loss, fooling), g = jax.value_and_grad(
-                lambda e_: uap_loss(apply_fn, cfg._vars, e_, x, y, mask, cfg.beta),
-                has_aux=True,
-            )(e)
-            updates, opt_state = opt.update(g, opt_state, e)
-            e = project_uap(optax.apply_updates(e, updates), cfg.eps, cfg.norm)
-            return (e, opt_state), (loss, fooling)
+    def epoch_fn(e, opt_state, xs, ys, idx_b):
+        return run(e, opt_state, variables, xs, ys, idx_b, beta, eps)
 
-        (e, opt_state), (losses, fools) = jax.lax.scan(
-            body, (e, opt_state), (xs, ys, idx_b)
-        )
-        return e, opt_state, jnp.sum(losses), jnp.sum(fools)
-
-    return run
+    return epoch_fn
 
 
 @functools.lru_cache(maxsize=32)

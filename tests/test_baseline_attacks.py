@@ -93,6 +93,34 @@ class TestUAPPGD:
         )
         assert float(jnp.linalg.norm(atk.attack_vec)) <= 0.5 + 1e-4
 
+    def test_epoch_compile_shared_across_instances(self, victim, dataset,
+                                                   tmp_path):
+        # The reference driver constructs one attack per victim/eps combo
+        # (demo_dL_attack.py:71-90); instances with different beta/eps must
+        # reuse ONE jitted epoch (beta/eps are traced args — the
+        # per-instance re-trace cost ~15 s wall on the TPU tunnel,
+        # BENCHMARKS.md round 3).
+        from dl_attack_on_imagenet_tpu.attacks.uap_pgd import (
+            _uap_epoch_cache, make_uap_epoch_fn,
+        )
+
+        cache = ArtifactCache(str(tmp_path))
+        a1 = UAPPGD(victim, data_train=dataset, steps=2, batch_size=8,
+                    eps=0.1, norm="linf", step_size=0.05, cache=cache,
+                    model_name="u1")
+        jitted = _uap_epoch_cache(victim.apply_fn, "adam", 0.05, "linf",
+                                  None, "data")
+        n = jitted._cache_size()
+        assert n >= 1
+        a2 = UAPPGD(victim, data_train=dataset, steps=2, batch_size=8,
+                    eps=0.03, beta=4.0, norm="linf", step_size=0.05,
+                    cache=cache, model_name="u2")
+        assert jitted._cache_size() == n, "eps/beta sweep retraced the epoch"
+        # eps really flows through (traced, not baked): the tighter budget
+        # must bind.
+        assert float(jnp.max(jnp.abs(a2.attack_vec))) <= 0.03 + 1e-5
+        assert float(jnp.max(jnp.abs(a1.attack_vec))) <= 0.1 + 1e-5
+
     def test_distributed_mesh(self, victim, dataset, tmp_path, devices):
         from dl_attack_on_imagenet_tpu.parallel import data_mesh
 
