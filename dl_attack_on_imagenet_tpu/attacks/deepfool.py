@@ -11,6 +11,7 @@ XLA, no retained graphs).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Callable, Tuple
 
@@ -21,6 +22,33 @@ from ..models import VictimModel
 from .base import Attack
 
 ApplyFn = Callable[[Any, jax.Array], jax.Array]
+
+
+@functools.lru_cache(maxsize=None)
+def cached_deepfool(apply_fn: ApplyFn, num_classes: int = 10,
+                    overshoot: float = 0.02, max_iter: int = 10):
+    """Jitted :func:`deepfool_batch` shared across attack instances.
+
+    DeepFool's jacrev-through-the-victim is one of the heaviest compiles in
+    the framework; the reference driver builds one attack object per
+    victim/eps combo (demo_dL_attack.py:71-90), so per-instance ``jax.jit``
+    wrappers re-trace it per instance. Module-level cache = one compile per
+    (victim, k, overshoot, iters) — the same pattern as adil.py's solver
+    cache.
+    """
+    return jax.jit(partial(deepfool_batch, apply_fn, num_classes=num_classes,
+                           overshoot=overshoot, max_iter=max_iter))
+
+
+@functools.lru_cache(maxsize=None)
+def cached_predict_fn(apply_fn: ApplyFn):
+    """Jitted argmax-predict shared across attack instances."""
+
+    @jax.jit
+    def predict(variables, x):
+        return jnp.argmax(apply_fn(variables, x).astype(jnp.float32), -1)
+
+    return predict
 
 
 def deepfool_batch(
@@ -122,15 +150,8 @@ class DeepFool(Attack):
         self.num_classes = num_classes
         self.overshoot = overshoot
         self.steps = steps
-        self._fn = jax.jit(
-            partial(
-                deepfool_batch,
-                victim.apply_fn,
-                num_classes=num_classes,
-                overshoot=overshoot,
-                max_iter=steps,
-            )
-        )
+        self._fn = cached_deepfool(victim.apply_fn, num_classes, overshoot,
+                                   steps)
 
     def forward(self, images: jax.Array, labels: jax.Array) -> jax.Array:
         r_tot, _ = self._fn(self.victim.variables, images)

@@ -13,6 +13,7 @@ whose direction is most cosine-aligned with it.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Optional
 
@@ -24,7 +25,7 @@ from ..data import as_array_dataset
 from ..models import VictimModel
 from ..utils import ArtifactCache
 from .base import Attack
-from .deepfool import deepfool_batch
+from .deepfool import cached_deepfool, cached_predict_fn
 from .uap_pgd import additive_fooling_rate, fold_increments, project_uap
 
 
@@ -61,20 +62,13 @@ class FastUAP(Attack):
         self.attack_vec: Optional[jax.Array] = None
         self.history: dict = {}
 
-        self._deepfool = jax.jit(
-            partial(
-                deepfool_batch,
-                victim.apply_fn,
-                overshoot=overshoot,
-                max_iter=steps_deepfool,
-            )
+        # Shared across instances — one DeepFool compile per
+        # (victim, overshoot, iters) even when the driver sweeps eps
+        # (deepfool.py::cached_deepfool).
+        self._deepfool = cached_deepfool(
+            victim.apply_fn, 10, overshoot, steps_deepfool
         )
-
-        @jax.jit
-        def _predict(vars_, x):
-            return jnp.argmax(victim.apply_fn(vars_, x).astype(jnp.float32), -1)
-
-        self._predict_fn = _predict
+        self._predict_fn = cached_predict_fn(victim.apply_fn)
 
         if not self.cache.exists("FastUAP", model=self.model_name) and data_train is not None:
             self.learn_attack(data_train, data_val)
@@ -228,6 +222,14 @@ def deepfool_cosinus_batch(
     return adv
 
 
+@functools.lru_cache(maxsize=None)
+def _cosinus_cache(apply_fn, overshoot: float, max_iter: int):
+    """Jitted :func:`deepfool_cosinus_batch` shared across instances —
+    un-jitted, the eager ``lax.while_loop`` re-traced on every call."""
+    return jax.jit(partial(deepfool_cosinus_batch, apply_fn,
+                           overshoot=overshoot, max_iter=max_iter))
+
+
 class DeepFoolCosinus(Attack):
     """Class wrapper over :func:`deepfool_cosinus_batch`."""
 
@@ -235,14 +237,12 @@ class DeepFoolCosinus(Attack):
         super().__init__(victim, "DeepFoolCosinus", targeted=False)
         self.steps = steps
         self.overshoot = overshoot
+        self._fn = _cosinus_cache(victim.apply_fn, overshoot, steps)
 
     def forward(self, images, labels, attack_init=None):
         if attack_init is None:
             attack_init = jnp.zeros(images.shape[1:])
-        return deepfool_cosinus_batch(
-            self.victim.apply_fn, self.victim.variables, images, attack_init,
-            overshoot=self.overshoot, max_iter=self.steps,
-        )
+        return self._fn(self.victim.variables, images, attack_init)
 
     def __call__(self, images, labels=None, attack_init=None):
         images = jnp.asarray(images)

@@ -9,7 +9,7 @@ host sync.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Any, Callable
 
 import jax
@@ -85,17 +85,33 @@ def pgd(
     return jax.lax.fori_loop(0, steps, body, adv0)
 
 
+@functools.lru_cache(maxsize=None)
+def _fgsm_cache(apply_fn, targeted: bool):
+    """Jitted FGSM shared across instances; eps is a traced arg so the
+    reference driver's eps grids (get_atks hyper sweeps) reuse one compile."""
+    return jax.jit(lambda variables, images, labels, eps: fgsm(
+        apply_fn, variables, images, labels, eps, targeted))
+
+
+@functools.lru_cache(maxsize=None)
+def _pgd_cache(apply_fn, steps: int, norm: str, random_start: bool,
+               targeted: bool):
+    """Jitted PGD/BIM shared across instances; eps/alpha are traced args —
+    one compile per (victim, steps, norm, variant) across hyper sweeps."""
+    return jax.jit(lambda variables, images, labels, key, eps, alpha: pgd(
+        apply_fn, variables, images, labels, eps, alpha, steps,
+        norm=norm, random_start=random_start, targeted=targeted, key=key))
+
+
 class FGSM(Attack):
     def __init__(self, victim: VictimModel, eps: float = 8 / 255, targeted: bool = False):
         super().__init__(victim, "FGSM", targeted)
         self.eps = eps
-        self._fn = jax.jit(
-            partial(fgsm, victim.apply_fn, eps=eps, targeted=targeted)
-        )
+        self._fn = _fgsm_cache(victim.apply_fn, targeted)
 
     def forward(self, images, labels):
         labels = self.get_target(images, labels)
-        return self._fn(self.victim.variables, images=images, labels=labels)
+        return self._fn(self.victim.variables, images, labels, self.eps)
 
 
 class PGD(Attack):
@@ -116,18 +132,15 @@ class PGD(Attack):
         self.random_start = random_start
         self.seed = seed
         self._rng_calls = 0
-        self._fn = jax.jit(
-            partial(
-                pgd, victim.apply_fn, eps=eps, alpha=alpha, steps=steps,
-                norm=self.norm, random_start=random_start, targeted=targeted,
-            )
-        )
+        self._fn = _pgd_cache(victim.apply_fn, steps, self.norm,
+                              random_start, targeted)
 
     def forward(self, images, labels):
         labels = self.get_target(images, labels)
         self._rng_calls += 1
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._rng_calls)
-        return self._fn(self.victim.variables, images=images, labels=labels, key=key)
+        return self._fn(self.victim.variables, images, labels, key,
+                        self.eps, self.alpha)
 
 
 class BIM(PGD):

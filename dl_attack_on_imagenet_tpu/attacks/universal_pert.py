@@ -14,7 +14,6 @@ Differences from the reference, by documented intent (SURVEY.md §2.4):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -23,7 +22,7 @@ import numpy as np
 
 from ..data import as_array_dataset
 from ..models import VictimModel
-from .deepfool import deepfool_batch
+from .deepfool import cached_deepfool, cached_predict_fn
 from .uap_pgd import additive_fooling_rate, fold_increments, project_uap
 
 
@@ -69,16 +68,10 @@ def universal_perturbation(
     n = len(train)
     vars_ = victim.variables
 
-    df = jax.jit(
-        partial(
-            deepfool_batch, victim.apply_fn,
-            num_classes=num_classes, overshoot=overshoot, max_iter=max_iter_df,
-        )
-    )
-
-    @jax.jit
-    def predict1(vars_, x):
-        return jnp.argmax(victim.apply_fn(vars_, x).astype(jnp.float32), -1)
+    # Shared across calls/instances (deepfool.py::cached_deepfool) — the
+    # DeepFool jacrev compile is paid once per victim, not per invocation.
+    df = cached_deepfool(victim.apply_fn, num_classes, overshoot, max_iter_df)
+    predict1 = cached_predict_fn(victim.apply_fn)
 
     v = jnp.zeros(train.image_shape)
     fooling_rate = 0.0

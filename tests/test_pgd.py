@@ -72,3 +72,42 @@ class TestFGSM:
                 "pgd": [PGD(victim, eps=16 / 255, alpha=4 / 255, steps=5)]}
         out = ev.get_performance(atks, victim, [(np.asarray(x), np.asarray(y))])
         assert len(out["fooling_rate"]) == 2
+
+
+class TestCompileReuse:
+    """Baseline attacks share jitted kernels across instances — the
+    reference driver's eps hyper-grids (performance.get_atks) must not
+    retrace per combo (eps/alpha are traced args)."""
+
+    def test_pgd_eps_sweep_shares_compile(self, victim, batch):
+        from dl_attack_on_imagenet_tpu.attacks.pgd import _pgd_cache
+
+        x, y = batch
+        a1 = PGD(victim, eps=8 / 255, alpha=2 / 255, steps=3)
+        _ = a1(x, y)
+        fn = _pgd_cache(victim.apply_fn, 3, "linf", True, False)
+        n = fn._cache_size()
+        assert n >= 1
+        a2 = PGD(victim, eps=32 / 255, alpha=8 / 255, steps=3)
+        adv2 = a2(x, y)
+        assert fn._cache_size() == n, "eps sweep retraced PGD"
+        # eps really binds (traced, not baked)
+        assert float(jnp.max(jnp.abs(adv2 - x))) <= 32 / 255 + 1e-6
+        a3 = PGD(victim, eps=4 / 255, alpha=1 / 255, steps=3)
+        adv3 = a3(x, y)
+        assert fn._cache_size() == n
+        assert float(jnp.max(jnp.abs(adv3 - x))) <= 4 / 255 + 1e-6
+
+    def test_deepfool_instances_share_compile(self, victim, batch):
+        from dl_attack_on_imagenet_tpu.attacks.deepfool import (
+            DeepFool, cached_deepfool,
+        )
+
+        x, y = batch
+        d1 = DeepFool(victim, num_classes=3, steps=4)
+        _ = d1(x, y)
+        fn = cached_deepfool(victim.apply_fn, 3, 0.02, 4)
+        n = fn._cache_size()
+        d2 = DeepFool(victim, num_classes=3, steps=4)
+        _ = d2(x, y)
+        assert fn._cache_size() == n, "second DeepFool instance retraced"
