@@ -58,6 +58,21 @@ def _solver_cache(apply_fn, cfg: AdilConfig):
     return _solver_cache_impl(apply_fn, _dc.replace(cfg, eps=-1.0, kappa=-1.0))
 
 
+def _device_memory_budget() -> int:
+    """Best-effort bytes available on the compute device (for the
+    pipeline_epochs='auto' decision)."""
+    dev = jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    if dev.platform == "tpu":
+        return 16 << 30  # v5e HBM
+    return 64 << 30  # CPU / virtual mesh: effectively unconstrained
+
+
 class ADIL(Attack):
     """Adversarial Dictionary Learning (ADiL).
 
@@ -99,7 +114,7 @@ class ADIL(Attack):
         metrics_log: Optional[str] = None,
         blocked: Any = "auto",
         perturb_dtype: str = "float32",
-        pipeline_epochs: bool = True,
+        pipeline_epochs: Any = "auto",
     ):
         super().__init__(victim, "ADIL", targeted)
         self.cfg = AdilConfig(
@@ -148,8 +163,10 @@ class ADIL(Attack):
         # serial one: the convergence rule (adil.py:207) still stops on
         # epoch t's state via a rolling device-side snapshot taken before
         # the state is donated into epoch t+1 (tests/test_epoch_pipeline.py).
-        # Costs one extra resident copy of (state, presliced epoch) in HBM;
-        # disable for datasets at the memory edge.
+        # Costs one extra resident copy of (state, presliced epoch) in HBM,
+        # so 'auto' (default) enables it only when the estimated footprint
+        # clearly fits the device budget (_resolve_pipeline); True/False
+        # force it either way.
         self.pipeline_epochs = pipeline_epochs
         from ..utils import MetricLogger
 
@@ -363,6 +380,26 @@ class ADIL(Attack):
     def _clear_train_state(self):
         self.cache.remove("ImageNet", **self._train_ckpt_key())
 
+    def _resolve_pipeline(self, images, state) -> bool:
+        """Resolve pipeline_epochs='auto' against the device memory budget.
+
+        Depth-1 pipelining keeps a second presliced epoch plus a device-side
+        state snapshot resident, roughly doubling the training footprint.
+        'auto' enables it only when dataset + two preslices + state + its
+        snapshot (+ in-flight copy) fit comfortably (<60% of HBM) — a
+        resident run near the memory edge keeps the serial loop instead of
+        trading an OOM for a ~20% throughput win.
+        """
+        if self.pipeline_epochs != "auto":
+            return bool(self.pipeline_epochs)
+        img_bytes = images.size * images.dtype.itemsize
+        state_bytes = sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(state)
+        )
+        need = 3 * img_bytes + 3 * state_bytes
+        return need < 0.6 * _device_memory_budget()
+
     def _learn_gd(self, data_train, data_val):
         """Joint projected-AdamW over (D, v). Reference: adil.py:114-210."""
         ds, images, n, key, state = self._prepare(data_train, "gd")
@@ -432,7 +469,7 @@ class ADIL(Attack):
             # Convergence: |Δloss| < tol (adil.py:207).
             return t > 1 and abs(loss_all[-1] - loss_all[-2]) < self.cfg.tol
 
-        if self.pipeline_epochs:
+        if self._resolve_pipeline(images, state):
             # Depth-1 pipeline: dispatch epoch t, THEN force epoch t-1's
             # scalars — the per-epoch host work (batch permutation +
             # preslice dispatch + readback round-trips, ~40 ms on the

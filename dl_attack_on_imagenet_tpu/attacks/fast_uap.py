@@ -107,10 +107,23 @@ class FastUAP(Attack):
             # for slow-dispatch hosts.
             for s in range(0, n, self.chunk):
                 x = images[s : s + self.chunk]
+                valid = None
+                if x.shape[0] < self.chunk:
+                    # Pad the ragged tail to the chunk shape so the jitted
+                    # gate/DeepFool/fold kernels keep ONE compile (the
+                    # DeepFool jacrev is the heaviest compile in the
+                    # framework); padded rows are gated inactive below.
+                    pad = self.chunk - x.shape[0]
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]
+                    )
+                    valid = jnp.arange(self.chunk) < self.chunk - pad
                 pert = x + attack[None]
                 clean = self._predict_fn(vars_, x)
                 cur = self._predict_fn(vars_, pert)
                 gate = cur == clean
+                if valid is not None:
+                    gate = gate & valid
                 if not bool(jnp.any(gate)):
                     continue
                 delta, iters = self._deepfool(vars_, pert, active_init=gate)

@@ -276,9 +276,10 @@ class UAPPGD(Attack):
             self.learn_attack(data_train, data_val)
 
     def make_optimizer(self):
-        if self.optimizer == "sgd":
-            return optax.sgd(self.step_size)
-        return optax.adam(self.step_size)
+        # Single source of truth with the cached jitted epoch (uap_pgd.py:
+        # _uap_epoch_cache builds its optimizer from the same dispatch) so
+        # the opt_state init always matches the epoch's update structure.
+        return _make_optimizer(self.optimizer, self.step_size)
 
     def learn_attack(self, data_train, data_val=None):
         ds = as_array_dataset(data_train)

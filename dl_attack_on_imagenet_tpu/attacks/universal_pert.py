@@ -83,10 +83,21 @@ def universal_perturbation(
     while fooling_rate < 1 - delta and n_iter < max_iter_uni:
         order = rng.permutation(n)
         for s in range(0, n, chunk):
-            idx = jnp.asarray(order[s : s + chunk])
+            idx_np = order[s : s + chunk]
+            valid = None
+            if len(idx_np) < chunk:
+                # Pad the ragged tail to the chunk shape (one compile for
+                # the jitted gate/DeepFool/fold kernels); padded rows are
+                # gated inactive below.
+                pad = chunk - len(idx_np)
+                valid = jnp.arange(chunk) < chunk - pad
+                idx_np = np.concatenate([idx_np, np.repeat(idx_np[-1:], pad)])
+            idx = jnp.asarray(idx_np)
             x = jnp.take(images, idx, axis=0)
             pert = x + v[None]
             gate = predict1(vars_, x) == predict1(vars_, pert)
+            if valid is not None:
+                gate = gate & valid
             if not bool(jnp.any(gate)):
                 continue
             dr, iters = df(vars_, pert, active_init=gate)

@@ -126,7 +126,11 @@ def l2_ball_project(x: jax.Array, radius: float = 1.0, axis=None) -> jax.Array:
     """
     sq = jnp.sum(x * x, axis=axis, keepdims=axis is not None)
     norm = jnp.sqrt(jnp.maximum(sq, 1e-24))
-    scale = radius / jnp.maximum(norm, radius)
+    # min(1, r/||x||) rather than r/max(||x||, r): identical inside/outside
+    # the ball, but stays a no-op (scale=1) for radius=inf, where the other
+    # form hits inf/inf = NaN — FastUAP defaults to eps=inf (fast_uap.py:40)
+    # and folds through this projection.
+    scale = jnp.minimum(1.0, radius / norm)
     return x * scale
 
 

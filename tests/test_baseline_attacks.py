@@ -150,6 +150,47 @@ class TestFastUAP:
         # accumulated perturbation should fool something on train
         assert atk.history["fooling_rate"][-1] >= 0
 
+    def test_l2_with_default_inf_eps_stays_finite(self, victim, dataset,
+                                                  tmp_path):
+        # FastUAP's default budget is eps=inf (reference fast_uap.py:40);
+        # with norm='l2' the fold projection must be a no-op, not inf/inf
+        # = NaN (l2_ball_project min(1, r/||x||) form).
+        cache = ArtifactCache(str(tmp_path))
+        small = ArrayDataset(dataset.images[:4], dataset.labels[:4])
+        atk = FastUAP(
+            victim, data_train=small, steps=1, norm="l2",
+            steps_deepfool=10, cache=cache, model_name="fastl2",
+            fooling_rate=2.0,
+        )
+        assert bool(jnp.all(jnp.isfinite(atk.attack_vec)))
+        assert float(jnp.max(jnp.abs(atk.attack_vec))) > 0
+
+    def test_ragged_tail_chunk_single_compile(self, victim, dataset,
+                                              tmp_path):
+        # n=6 with chunk=4 leaves a ragged tail of 2; the tail is padded to
+        # the chunk shape so the jitted gate/DeepFool kernels keep ONE
+        # compiled shape (the jacrev compile costs minutes on the TPU
+        # tunnel).
+        from dl_attack_on_imagenet_tpu.attacks.deepfool import (
+            cached_deepfool, cached_predict_fn,
+        )
+
+        cache = ArtifactCache(str(tmp_path))
+        small = ArrayDataset(dataset.images[:6], dataset.labels[:6])
+        df = cached_deepfool(victim.apply_fn, 10, 0.02, 10)
+        pf = cached_predict_fn(victim.apply_fn)
+        df_before, pf_before = df._cache_size(), pf._cache_size()
+        atk = FastUAP(
+            victim, data_train=small, steps=1, eps=0.3, norm="linf",
+            steps_deepfool=10, cache=cache, model_name="fastrag",
+            fooling_rate=2.0, chunk=4,
+        )
+        assert bool(jnp.all(jnp.isfinite(atk.attack_vec)))
+        # every DeepFool/predict call in the pass used the padded
+        # (4, 32, 32, 3) shape — at most one NEW traced entry each
+        assert df._cache_size() <= df_before + 1
+        assert pf._cache_size() <= pf_before + 1
+
     def test_deepfool_cosinus(self, victim, dataset):
         atk = DeepFoolCosinus(victim, steps=10)
         x = jnp.asarray(dataset.images[:4])

@@ -118,3 +118,37 @@ def test_pipelined_checkpoint_resume_matches_uninterrupted(
     np.testing.assert_allclose(np.asarray(atk2.dictionary),
                                np.asarray(ref5.dictionary), rtol=1e-5,
                                atol=1e-7)
+
+
+class TestAutoResolution:
+    """pipeline_epochs='auto' (the default) enables the pipeline only when
+    the doubled resident footprint clearly fits the device budget."""
+
+    def test_small_dataset_resolves_true(self, victim, dataset, tmp_path):
+        atk = ADIL(victim, steps=2, n_atoms=4, batch_size=8,
+                   cache=ArtifactCache(str(tmp_path)), model_name="auto1")
+        assert atk.pipeline_epochs == "auto"
+        import jax.numpy as jnp
+        from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+        images = jnp.zeros((16, 32, 32, 3))
+        state = core.init_state(jax.random.PRNGKey(0), (32, 32, 3), 16,
+                                atk.cfg)
+        assert atk._resolve_pipeline(images, state) is True
+
+    def test_memory_edge_resolves_false(self, victim, dataset, tmp_path,
+                                        monkeypatch):
+        from dl_attack_on_imagenet_tpu.attacks import adil as adil_mod
+
+        monkeypatch.setattr(adil_mod, "_device_memory_budget",
+                            lambda: 1 << 20)  # 1 MiB budget
+        atk = ADIL(victim, steps=2, n_atoms=4, batch_size=8,
+                   cache=ArtifactCache(str(tmp_path)), model_name="auto2")
+        import jax.numpy as jnp
+        from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+        images = jnp.zeros((16, 32, 32, 3))
+        state = core.init_state(jax.random.PRNGKey(0), (32, 32, 3), 16,
+                                atk.cfg)
+        assert atk._resolve_pipeline(images, state) is False
+        # explicit True still forces the pipeline at the edge
+        atk.pipeline_epochs = True
+        assert atk._resolve_pipeline(images, state) is True

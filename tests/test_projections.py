@@ -81,6 +81,15 @@ class TestL2:
         out = l2_ball_project(x, 1.0, axis=1)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-7)
 
+    def test_ball_inf_radius_is_noop(self, rng):
+        # FastUAP defaults to eps=inf (fast_uap.py:40) and folds through
+        # this projection — radius=inf must be an exact no-op, not inf/inf.
+        x = jax.random.normal(rng, (5, 30)) * 10
+        out = l2_ball_project(x, jnp.inf, axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        out_global = l2_ball_project(x, jnp.inf, axis=None)
+        np.testing.assert_array_equal(np.asarray(out_global), np.asarray(x))
+
     def test_sphere_normalizes(self, rng):
         x = jax.random.normal(rng, (5, 30))
         out = l2_sphere_project(x, 2.0, axis=1)
