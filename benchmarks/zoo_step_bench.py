@@ -37,24 +37,31 @@ from dl_attack_on_imagenet_tpu.attacks import adil_core as core
 from dl_attack_on_imagenet_tpu.attacks.adil_core import AdilConfig
 from dl_attack_on_imagenet_tpu.models import create_model
 
-# (registry name, input size, extra model kwargs)
+# (tag, registry name, input size, extra model kwargs)
+# fold_bn everywhere the architecture supports it (conv->BN->relu order;
+# densenet is pre-activation and has no folded mode — models/fold.py).
 ZOO = [
-    ("resnet18", 224, {"stem_s2d": True, "fold_bn": True}),
-    ("resnet50", 224, {"stem_s2d": True, "fold_bn": True}),
-    ("vgg11", 224, {}),
-    ("densenet121", 224, {}),
-    ("googlenet", 224, {}),
-    ("mobilenet_v2", 224, {}),
-    ("inception_v3", 299, {}),
-    ("inception_v3", 224, {}),  # the reference's blanket-224 operating point
-    ("vit_b16", 224, {}),
+    ("resnet18", "resnet18", 224, {"stem_s2d": True, "fold_bn": True}),
+    ("resnet50", "resnet50", 224, {"stem_s2d": True, "fold_bn": True}),
+    ("vgg11", "vgg11", 224, {}),
+    ("densenet121", "densenet121", 224, {}),
+    ("googlenet", "googlenet", 224, {}),
+    ("googlenet_fold", "googlenet", 224, {"fold_bn": True}),
+    ("mobilenet_v2", "mobilenet_v2", 224, {}),
+    ("mobilenet_v2_fold", "mobilenet_v2", 224, {"fold_bn": True}),
+    ("inception_v3", "inception_v3", 299, {}),
+    ("inception_v3_fold", "inception_v3", 299, {"fold_bn": True}),
+    # the reference's blanket-224 operating point
+    ("inception_v3_224", "inception_v3", 224, {}),
+    ("inception_v3_224_fold", "inception_v3", 224, {"fold_bn": True}),
+    ("vit_b16", "vit_b16", 224, {}),
 ]
 
 SCAN_LEN = 30
 BATCH = 64
 
 
-def bench_victim(name, size, kwargs):
+def bench_victim(tag, name, size, kwargs):
     cfg = AdilConfig(
         eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
         step_size=0.01, batch_size=BATCH, perturb_dtype="bfloat16",
@@ -82,7 +89,7 @@ def bench_victim(name, size, kwargs):
     jax.block_until_ready(state.d)
     dt = (time.perf_counter() - t0) / (n_dispatch * SCAN_LEN)
     print(json.dumps({
-        "victim": name, "input": size,
+        "victim": tag, "input": size,
         "ms_per_step": round(dt * 1e3, 2),
         "iters_per_sec": round(1.0 / dt, 1),
         "img_per_sec": round(BATCH / dt, 0),
@@ -92,10 +99,10 @@ def bench_victim(name, size, kwargs):
 
 def main():
     only = set(sys.argv[1:])
-    for name, size, kwargs in ZOO:
-        if only and name not in only:
+    for tag, name, size, kwargs in ZOO:
+        if only and tag not in only:
             continue
-        bench_victim(name, size, kwargs)
+        bench_victim(tag, name, size, kwargs)
 
 
 if __name__ == "__main__":

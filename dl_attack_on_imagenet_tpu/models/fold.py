@@ -8,9 +8,12 @@ with ``s = scale / sqrt(var + eps)``. Folding removes one full elementwise
 pass over every activation tensor in both the forward and the attack's
 backward — measured on the headline train step in BENCHMARKS.md.
 
-Works on the ResNet family (ConvBN / S2DStem modules). Build the folded
-module with ``create_model(..., fold_bn=True)`` and convert existing
-variables with :func:`fold_victim_bn`.
+Works on every ConvBN-based victim (conv -> BN -> relu order): the ResNet
+family (ConvBN / S2DStem modules), GoogLeNet, Inception v3, MobileNetV2.
+DenseNet is pre-activation (BN -> relu -> conv, densenet.py) — the relu
+between the affine and the conv blocks absorption, so it has no folded
+mode. Build the folded module with ``create_model(..., fold_bn=True)`` and
+convert existing variables with :func:`fold_victim_bn`.
 """
 
 from __future__ import annotations
@@ -61,8 +64,13 @@ def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:
     return {"params": rec(params, stats)}
 
 
+# BasicConv2d models use BatchNorm2d(eps=0.001), not the 1e-5 default
+# (googlenet.py/inception.py fidelity notes).
+_MODEL_BN_EPS = {"googlenet": 1e-3, "inception": 1e-3, "inception_v3": 1e-3}
+
+
 def fold_victim(victim, normalize: bool = True):
-    """VictimModel (unfolded ResNet) -> VictimModel with folded BN.
+    """VictimModel (unfolded, ConvBN-based) -> VictimModel with folded BN.
 
     Returns a new victim whose module was rebuilt with ``fold_bn=True`` and
     whose variables were converted; logits match the original to fp
@@ -71,7 +79,12 @@ def fold_victim(victim, normalize: bool = True):
     """
     from . import create_model
 
-    variables = fold_victim_bn(victim.variables)
+    eps = _MODEL_BN_EPS.get(victim.name, _BN_EPS)
+    variables = fold_victim_bn(victim.variables, eps=eps)
+    kwargs = {"fold_bn": True}
+    for field in ("stem_s2d", "transform_input"):
+        if hasattr(victim.module, field):
+            kwargs[field] = getattr(victim.module, field)
     return create_model(
         victim.name,
         num_classes=victim.num_classes,
@@ -79,6 +92,5 @@ def fold_victim(victim, normalize: bool = True):
         input_size=victim.input_size,
         variables=variables,
         normalize=normalize,
-        stem_s2d=getattr(victim.module, "stem_s2d", False),
-        fold_bn=True,
+        **kwargs,
     )

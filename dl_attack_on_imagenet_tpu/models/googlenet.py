@@ -36,18 +36,21 @@ class InceptionBlock(nn.Module):
     c5: int
     pool_proj: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = ConvBN(self.c1, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
-        b2 = ConvBN(self.c3r, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
-        b2 = ConvBN(self.c3, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(b2)
-        b3 = ConvBN(self.c5r, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        cbn = lambda *a, **k: ConvBN(*a, bn_eps=_BN_EPS, dtype=self.dtype,
+                                     fold_bn=self.fold_bn, **k)
+        b1 = cbn(self.c1, (1, 1))(x)
+        b2 = cbn(self.c3r, (1, 1))(x)
+        b2 = cbn(self.c3, (3, 3))(b2)
+        b3 = cbn(self.c5r, (1, 1))(x)
         # torchvision's googlenet actually uses a 3x3 here (a known quirk of
         # its port); we keep 3x3 for weight-compatibility.
-        b3 = ConvBN(self.c5, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(b3)
+        b3 = cbn(self.c5, (3, 3))(b3)
         b4 = max_pool(x, (3, 3), (1, 1), padding="SAME")
-        b4 = ConvBN(self.pool_proj, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(b4)
+        b4 = cbn(self.pool_proj, (1, 1))(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -56,34 +59,41 @@ class GoogLeNet(nn.Module):
     dtype: Any = jnp.float32
     # torchvision pretrained=True default — the reference's operating point.
     transform_input: bool = True
+    # Frozen eval-mode BNs folded into conv kernels (exact; models/fold.py).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cbn = lambda *a, **k: ConvBN(*a, bn_eps=_BN_EPS, dtype=self.dtype,
+                                     fold_bn=self.fold_bn, **k)
+        blk = lambda *a: InceptionBlock(*a, dtype=self.dtype,
+                                        fold_bn=self.fold_bn)
         if self.transform_input:
             x = torch_transform_input(x)
-        x = ConvBN(64, (7, 7), (2, 2), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        x = cbn(64, (7, 7), (2, 2))(x)
         x = max_pool(x, (3, 3), (2, 2))
-        x = ConvBN(64, (1, 1), bn_eps=_BN_EPS, dtype=self.dtype)(x)
-        x = ConvBN(192, (3, 3), bn_eps=_BN_EPS, dtype=self.dtype)(x)
+        x = cbn(64, (1, 1))(x)
+        x = cbn(192, (3, 3))(x)
         x = max_pool(x, (3, 3), (2, 2))
 
-        x = InceptionBlock(64, 96, 128, 16, 32, 32, dtype=self.dtype)(x)     # 3a
-        x = InceptionBlock(128, 128, 192, 32, 96, 64, dtype=self.dtype)(x)   # 3b
+        x = blk(64, 96, 128, 16, 32, 32)(x)      # 3a
+        x = blk(128, 128, 192, 32, 96, 64)(x)    # 3b
         x = max_pool(x, (3, 3), (2, 2))
-        x = InceptionBlock(192, 96, 208, 16, 48, 64, dtype=self.dtype)(x)    # 4a
-        x = InceptionBlock(160, 112, 224, 24, 64, 64, dtype=self.dtype)(x)   # 4b
-        x = InceptionBlock(128, 128, 256, 24, 64, 64, dtype=self.dtype)(x)   # 4c
-        x = InceptionBlock(112, 144, 288, 32, 64, 64, dtype=self.dtype)(x)   # 4d
-        x = InceptionBlock(256, 160, 320, 32, 128, 128, dtype=self.dtype)(x) # 4e
+        x = blk(192, 96, 208, 16, 48, 64)(x)     # 4a
+        x = blk(160, 112, 224, 24, 64, 64)(x)    # 4b
+        x = blk(128, 128, 256, 24, 64, 64)(x)    # 4c
+        x = blk(112, 144, 288, 32, 64, 64)(x)    # 4d
+        x = blk(256, 160, 320, 32, 128, 128)(x)  # 4e
         x = max_pool(x, (2, 2), (2, 2))
-        x = InceptionBlock(256, 160, 320, 32, 128, 128, dtype=self.dtype)(x) # 5a
-        x = InceptionBlock(384, 192, 384, 48, 128, 128, dtype=self.dtype)(x) # 5b
+        x = blk(256, 160, 320, 32, 128, 128)(x)  # 5a
+        x = blk(384, 192, 384, 48, 128, 128)(x)  # 5b
 
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
 def googlenet(num_classes: int = 1000, dtype=jnp.float32,
-              transform_input: bool = True) -> GoogLeNet:
+              transform_input: bool = True,
+              fold_bn: bool = False) -> GoogLeNet:
     return GoogLeNet(num_classes=num_classes, dtype=dtype,
-                     transform_input=transform_input)
+                     transform_input=transform_input, fold_bn=fold_bn)

@@ -12,6 +12,9 @@ tests/test_torch_forward_parity.py):
   (not just the stem — all Mixed_* blocks too);
 - ``pretrained=True`` sets ``transform_input=True`` — an extra per-channel
   affine at the top of the forward (see layers.torch_transform_input).
+
+``fold_bn=True`` folds the frozen eval-mode BNs into the conv kernels
+(exact; models/fold.py) — the parameter tree loses its BatchNorm leaves.
 """
 
 from __future__ import annotations
@@ -31,29 +34,33 @@ CBN = functools.partial(ConvBN, bn_eps=1e-3)
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = CBN(64, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(48, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(64, (5, 5), dtype=self.dtype)(b2)
-        b3 = CBN(64, (1, 1), dtype=self.dtype)(x)
-        b3 = CBN(96, (3, 3), dtype=self.dtype)(b3)
-        b3 = CBN(96, (3, 3), dtype=self.dtype)(b3)
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
+        b1 = cbn(64, (1, 1))(x)
+        b2 = cbn(48, (1, 1))(x)
+        b2 = cbn(64, (5, 5))(b2)
+        b3 = cbn(64, (1, 1))(x)
+        b3 = cbn(96, (3, 3))(b3)
+        b3 = cbn(96, (3, 3))(b3)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = CBN(self.pool_features, (1, 1), dtype=self.dtype)(b4)
+        b4 = cbn(self.pool_features, (1, 1))(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
 class InceptionB(nn.Module):
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = CBN(384, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x)
-        b2 = CBN(64, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(96, (3, 3), dtype=self.dtype)(b2)
-        b2 = CBN(96, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
+        b1 = cbn(384, (3, 3), (2, 2), padding="VALID")(x)
+        b2 = cbn(64, (1, 1))(x)
+        b2 = cbn(96, (3, 3))(b2)
+        b2 = cbn(96, (3, 3), (2, 2), padding="VALID")(b2)
         b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
@@ -61,56 +68,60 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     c7: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
         c7 = self.c7
-        b1 = CBN(192, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(c7, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(c7, (1, 7), dtype=self.dtype)(b2)
-        b2 = CBN(192, (7, 1), dtype=self.dtype)(b2)
-        b3 = CBN(c7, (1, 1), dtype=self.dtype)(x)
-        b3 = CBN(c7, (7, 1), dtype=self.dtype)(b3)
-        b3 = CBN(c7, (1, 7), dtype=self.dtype)(b3)
-        b3 = CBN(c7, (7, 1), dtype=self.dtype)(b3)
-        b3 = CBN(192, (1, 7), dtype=self.dtype)(b3)
+        b1 = cbn(192, (1, 1))(x)
+        b2 = cbn(c7, (1, 1))(x)
+        b2 = cbn(c7, (1, 7))(b2)
+        b2 = cbn(192, (7, 1))(b2)
+        b3 = cbn(c7, (1, 1))(x)
+        b3 = cbn(c7, (7, 1))(b3)
+        b3 = cbn(c7, (1, 7))(b3)
+        b3 = cbn(c7, (7, 1))(b3)
+        b3 = cbn(192, (1, 7))(b3)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = CBN(192, (1, 1), dtype=self.dtype)(b4)
+        b4 = cbn(192, (1, 1))(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
 class InceptionD(nn.Module):
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = CBN(192, (1, 1), dtype=self.dtype)(x)
-        b1 = CBN(320, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b1)
-        b2 = CBN(192, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(192, (1, 7), dtype=self.dtype)(b2)
-        b2 = CBN(192, (7, 1), dtype=self.dtype)(b2)
-        b2 = CBN(192, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(b2)
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
+        b1 = cbn(192, (1, 1))(x)
+        b1 = cbn(320, (3, 3), (2, 2), padding="VALID")(b1)
+        b2 = cbn(192, (1, 1))(x)
+        b2 = cbn(192, (1, 7))(b2)
+        b2 = cbn(192, (7, 1))(b2)
+        b2 = cbn(192, (3, 3), (2, 2), padding="VALID")(b2)
         b3 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = CBN(320, (1, 1), dtype=self.dtype)(x)
-        b2 = CBN(384, (1, 1), dtype=self.dtype)(x)
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
+        b1 = cbn(320, (1, 1))(x)
+        b2 = cbn(384, (1, 1))(x)
         b2 = jnp.concatenate(
-            [CBN(384, (1, 3), dtype=self.dtype)(b2),
-             CBN(384, (3, 1), dtype=self.dtype)(b2)], axis=-1)
-        b3 = CBN(448, (1, 1), dtype=self.dtype)(x)
-        b3 = CBN(384, (3, 3), dtype=self.dtype)(b3)
+            [cbn(384, (1, 3))(b2), cbn(384, (3, 1))(b2)], axis=-1)
+        b3 = cbn(448, (1, 1))(x)
+        b3 = cbn(384, (3, 3))(b3)
         b3 = jnp.concatenate(
-            [CBN(384, (1, 3), dtype=self.dtype)(b3),
-             CBN(384, (3, 1), dtype=self.dtype)(b3)], axis=-1)
+            [cbn(384, (1, 3))(b3), cbn(384, (3, 1))(b3)], axis=-1)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = CBN(192, (1, 1), dtype=self.dtype)(b4)
+        b4 = cbn(192, (1, 1))(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -119,34 +130,38 @@ class InceptionV3(nn.Module):
     dtype: Any = jnp.float32
     # torchvision pretrained=True default — the reference's operating point.
     transform_input: bool = True
+    # Frozen eval-mode BNs folded into conv kernels (exact; models/fold.py).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cbn = functools.partial(CBN, dtype=self.dtype, fold_bn=self.fold_bn)
         if self.transform_input:
             x = torch_transform_input(x)
-        x = CBN(32, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x)
-        x = CBN(32, (3, 3), padding="VALID", dtype=self.dtype)(x)
-        x = CBN(64, (3, 3), dtype=self.dtype)(x)
+        x = cbn(32, (3, 3), (2, 2), padding="VALID")(x)
+        x = cbn(32, (3, 3), padding="VALID")(x)
+        x = cbn(64, (3, 3))(x)
         x = max_pool(x, (3, 3), (2, 2), padding="VALID")
-        x = CBN(80, (1, 1), padding="VALID", dtype=self.dtype)(x)
-        x = CBN(192, (3, 3), padding="VALID", dtype=self.dtype)(x)
+        x = cbn(80, (1, 1), padding="VALID")(x)
+        x = cbn(192, (3, 3), padding="VALID")(x)
         x = max_pool(x, (3, 3), (2, 2), padding="VALID")
-        x = InceptionA(32, dtype=self.dtype)(x)
-        x = InceptionA(64, dtype=self.dtype)(x)
-        x = InceptionA(64, dtype=self.dtype)(x)
-        x = InceptionB(dtype=self.dtype)(x)
-        x = InceptionC(128, dtype=self.dtype)(x)
-        x = InceptionC(160, dtype=self.dtype)(x)
-        x = InceptionC(160, dtype=self.dtype)(x)
-        x = InceptionC(192, dtype=self.dtype)(x)
-        x = InceptionD(dtype=self.dtype)(x)
-        x = InceptionE(dtype=self.dtype)(x)
-        x = InceptionE(dtype=self.dtype)(x)
+        x = InceptionA(32, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionA(64, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionA(64, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionB(dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionC(128, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionC(160, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionC(160, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionC(192, dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionD(dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionE(dtype=self.dtype, fold_bn=self.fold_bn)(x)
+        x = InceptionE(dtype=self.dtype, fold_bn=self.fold_bn)(x)
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
 def inception_v3(num_classes: int = 1000, dtype=jnp.float32,
-                 transform_input: bool = True) -> InceptionV3:
+                 transform_input: bool = True,
+                 fold_bn: bool = False) -> InceptionV3:
     return InceptionV3(num_classes=num_classes, dtype=dtype,
-                       transform_input=transform_input)
+                       transform_input=transform_input, fold_bn=fold_bn)

@@ -6,6 +6,7 @@ the single-image demo's default model).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -26,20 +27,22 @@ class InvertedResidual(nn.Module):
     strides: tuple
     expand_ratio: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cbn = functools.partial(ConvBN, dtype=self.dtype, fold_bn=self.fold_bn)
         in_features = x.shape[-1]
         hidden = in_features * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = ConvBN(hidden, (1, 1), dtype=self.dtype)(y)
+            y = cbn(hidden, (1, 1))(y)
             y = jnp.minimum(y, 6.0)  # ReLU6 (ConvBN applies relu; cap at 6)
         # depthwise
-        y = ConvBN(hidden, (3, 3), self.strides, groups=hidden, dtype=self.dtype)(y)
+        y = cbn(hidden, (3, 3), self.strides, groups=hidden)(y)
         y = jnp.minimum(y, 6.0)
         # linear projection
-        y = ConvBN(self.features, (1, 1), relu=False, dtype=self.dtype)(y)
+        y = cbn(self.features, (1, 1), relu=False)(y)
         if self.strides == (1, 1) and in_features == self.features:
             return x + y
         return y
@@ -61,23 +64,27 @@ class MobileNetV2(nn.Module):
     num_classes: int = 1000
     width_mult: float = 1.0
     dtype: Any = jnp.float32
+    # Frozen eval-mode BNs folded into conv kernels (exact; models/fold.py).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = _make_divisible(32 * self.width_mult)
-        x = ConvBN(c, (3, 3), (2, 2), dtype=self.dtype)(x)
+        x = ConvBN(c, (3, 3), (2, 2), dtype=self.dtype, fold_bn=self.fold_bn)(x)
         x = jnp.minimum(x, 6.0)
         for t, ch, n, s in _V2_CFG:
             out_c = _make_divisible(ch * self.width_mult)
             for i in range(n):
                 strides = (s, s) if i == 0 else (1, 1)
-                x = InvertedResidual(out_c, strides, t, dtype=self.dtype)(x)
+                x = InvertedResidual(out_c, strides, t, dtype=self.dtype,
+                                     fold_bn=self.fold_bn)(x)
         last = _make_divisible(1280 * max(1.0, self.width_mult))
-        x = ConvBN(last, (1, 1), dtype=self.dtype)(x)
+        x = ConvBN(last, (1, 1), dtype=self.dtype, fold_bn=self.fold_bn)(x)
         x = jnp.minimum(x, 6.0)
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def mobilenet_v2(num_classes: int = 1000, dtype=jnp.float32) -> MobileNetV2:
-    return MobileNetV2(num_classes=num_classes, dtype=dtype)
+def mobilenet_v2(num_classes: int = 1000, dtype=jnp.float32,
+                 fold_bn: bool = False) -> MobileNetV2:
+    return MobileNetV2(num_classes=num_classes, dtype=dtype, fold_bn=fold_bn)

@@ -69,3 +69,16 @@ def test_fold_variables_structure():
     flat = jax.tree_util.tree_leaves_with_path(folded_vars)
     names = ["/".join(str(p) for p in path) for path, _ in flat]
     assert not any("BatchNorm" in n for n in names)
+
+
+def test_fold_googlenet():
+    # BasicConv2d eps=0.001 must be used in the fold (fold._MODEL_BN_EPS)
+    _check("googlenet")
+
+
+def test_fold_inception_v3():
+    _check("inception_v3")
+
+
+def test_fold_mobilenet_v2():
+    _check("mobilenet_v2")
