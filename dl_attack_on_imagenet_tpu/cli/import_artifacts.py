@@ -40,12 +40,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cache", default="trained_dicts",
                    help="ArtifactCache root to write into (default trained_dicts)")
     p.add_argument("--backend", default="msgpack", choices=["msgpack", "orbax"])
-    # ADILR memoization hypers (adil_regularized.py:683-686)
+    # ADILR memoization hypers (adil_regularized.py:683-686); --tag default
+    # matches the ADILR class default param_or_train='param_selecting' so a
+    # default-flags import is found by a default-flags ADILR(...)
     p.add_argument("--lam1", type=float, default=0.1)
     p.add_argument("--lam2", type=float, default=0.1)
     p.add_argument("--atoms", type=int, default=None)
     p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--tag", default="train")
+    p.add_argument("--tag", default="param_selecting")
     # universal_pert output path
     p.add_argument("--out", default=None, help="output .npy (kind=universal)")
     return p
@@ -54,7 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> str:
     args = build_argparser().parse_args(argv)
     if args.kind == "universal":
-        out = args.out or args.src.replace(".npy", "_nhwc.npy")
+        if args.out:
+            out = args.out
+        else:
+            import os
+
+            root, _ = os.path.splitext(args.src)
+            out = root + "_nhwc.npy"
         path = import_universal(args.src, out)
     else:
         if not args.model:

@@ -69,13 +69,15 @@ def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:
 _MODEL_BN_EPS = {"googlenet": 1e-3, "inception": 1e-3, "inception_v3": 1e-3}
 
 
-def fold_victim(victim, normalize: bool = True):
+def fold_victim(victim, normalize=None):
     """VictimModel (unfolded, ConvBN-based) -> VictimModel with folded BN.
 
     Returns a new victim whose module was rebuilt with ``fold_bn=True`` and
     whose variables were converted; logits match the original to fp
-    tolerance (tests/test_fold_bn.py). ``normalize`` must match how the
-    original victim was created (create_model's default is True).
+    tolerance (tests/test_fold_bn.py). Normalization (enabled/mean/std) and
+    module config reachable through ``create_model`` (stem_s2d,
+    transform_input) are inherited from the original victim; pass
+    ``normalize`` explicitly only to override.
     """
     from . import create_model
 
@@ -91,6 +93,8 @@ def fold_victim(victim, normalize: bool = True):
         dtype=victim.module.dtype,
         input_size=victim.input_size,
         variables=variables,
-        normalize=normalize,
+        normalize=victim.normalize if normalize is None else normalize,
+        mean=victim.mean,
+        std=victim.std,
         **kwargs,
     )

@@ -42,7 +42,20 @@ def _load_torch_list(path: str):
         # Reference artifacts may contain plain Python lists / floats /
         # autograd Variables that the restricted unpickler rejects. Only
         # load artifacts you trust (standard torch-pickle caveat).
-        payload = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            payload = torch.load(path, map_location="cpu", weights_only=False)
+        except (ModuleNotFoundError, AttributeError) as e:
+            # A pickled nn.Module (the reference's DDP save,
+            # adil.py:428: [ddp_model.module, loss_all, fooling_rate_all])
+            # needs the reference package importable to unpickle.
+            raise ValueError(
+                f"{path}: unpickling needs the reference's own classes "
+                f"({e}). DDP-trained artifacts pickle the whole "
+                "Attack_dict_model module; re-save tensors from an "
+                "environment where the reference imports: "
+                "m, loss, fool = torch.load(path); "
+                "torch.save([m.d.data, m.v.data, loss, fool, 0.0], path)"
+            ) from e
     return payload
 
 
@@ -70,16 +83,51 @@ def ref_image_to_nhwc(e: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(e, (0, 2, 3, 1)))
 
 
+def _unpack_dict_artifact(loaded, path: str):
+    """Validate + unpack a [d, v, ...curves] reference dictionary artifact.
+
+    Serial ADIL (adil.py:210) and the ADILR class trainer
+    (adil_regularized.py:815) both save
+    ``[d (C,H,W,K), v (N,K), loss_all, fooling_rate_all, val_fool]``. The
+    DDP path instead pickles the whole module (adil.py:428) — rejected
+    with a how-to-convert message.
+    """
+    import torch
+
+    if not isinstance(loaded, (list, tuple)) or len(loaded) < 2:
+        raise ValueError(f"{path}: expected the reference's [d, v, ...] "
+                         f"list, got {type(loaded).__name__}")
+    if isinstance(loaded[0], torch.nn.Module):
+        m = loaded[0]
+        raise ValueError(
+            f"{path}: DDP-format artifact (adil.py:428 pickles the whole "
+            "module). Re-save its tensors first: torch.save([m.d.data, "
+            f"m.v.data, *rest], path)  # m has d{tuple(m.d.shape) if hasattr(m, 'd') else ''}"
+        )
+    d = _to_np(loaded[0])
+    v = _to_np(loaded[1])
+    if d.ndim != 4 or v.ndim != 2 or v.shape[1] != d.shape[3]:
+        raise ValueError(
+            f"{path}: element 0/1 do not look like the reference's "
+            f"d (C,H,W,K) + v (N,K): got {d.shape} and {v.shape}"
+        )
+    rest = list(loaded[2:])
+    return d, v, rest
+
+
 def import_adil(path: str, cache: ArtifactCache, model_name: str) -> str:
     """Import an ADIL dictionary artifact (adil.py:210 format).
 
     Returns the cache path written. The payload matches ADIL._save so
     ``ADIL(victim, model_name=..., cache=...)`` memoizes against it.
     """
-    d, v, loss_all, fooling_all, val_fool = _load_torch_list(path)[:5]
+    d, v, rest = _unpack_dict_artifact(_load_torch_list(path), path)
+    loss_all = rest[0] if len(rest) > 0 else []
+    fooling_all = rest[1] if len(rest) > 1 else []
+    val_fool = rest[2] if len(rest) > 2 else None
     payload: Dict[str, Any] = {
-        "d": ref_dict_to_atoms_first(_to_np(d)).astype(np.float32),
-        "v": _to_np(v).astype(np.float32),
+        "d": ref_dict_to_atoms_first(d).astype(np.float32),
+        "v": v.astype(np.float32),
         "loss": np.asarray(_to_np(loss_all), np.float64).ravel(),
         "fooling_rate": np.asarray(_to_np(fooling_all), np.float64).ravel(),
     }
@@ -96,26 +144,54 @@ def import_adilr(
     lam2: float,
     atoms: Optional[int] = None,
     steps: int = 100,
-    tag: str = "train",
+    tag: str = "param_selecting",
 ) -> str:
-    """Import an ADILR artifact (adil_regularized.py:499 format).
+    """Import an ADILR artifact — BOTH on-disk formats the reference writes.
 
-    The cache key mirrors ADILR's hyper-keyed memoization
-    (model/lam1/lam2/atoms/steps/tag); ``atoms`` defaults to the
-    dictionary's K. The Laplace sampler is re-fitted from the imported
-    codes on first unsupervised use (ADILR._fit_laplace_from_artifact).
+    The sadil/sadil_updated solver functions save
+    ``[D, label, pred, v, loss]`` (adil_regularized.py:499/:311), while the
+    ADILR class's executed trainer saves the ADIL-style
+    ``[d, v, loss_all, fooling_rate_all, val_fool]``
+    (adil_regularized.py:815) to the same memoization path — the format is
+    auto-detected from element shapes. The cache key mirrors ADILR's
+    hyper-keyed memoization (model/lam1/lam2/atoms/steps/tag; ``tag``
+    defaults to the class default 'param_selecting',
+    adil_regularized.py:661-686); ``atoms`` defaults to the dictionary's K.
+    The Laplace sampler is re-fitted from the imported codes on first
+    unsupervised use (ADILR._fit_laplace_from_artifact).
     """
-    d, label, pred, v, loss = _load_torch_list(path)[:5]
-    d_np = ref_dict_to_atoms_first(_to_np(d)).astype(np.float32)
+    loaded = _load_torch_list(path)
+    if not isinstance(loaded, (list, tuple)) or len(loaded) < 2:
+        raise ValueError(f"{path}: expected a reference ADILR list artifact")
+    e1 = _to_np(loaded[1])
+    if e1.ndim == 2:
+        # class-trainer format: [d, v, loss_all, fooling_all, val_fool]
+        d, v, _rest = _unpack_dict_artifact(loaded, path)
+        loss = _rest[0] if _rest else []
+        labels = None
+    elif len(loaded) >= 5:
+        # solver format: [D, label, pred, v, loss]
+        d, label, _pred, v_t, loss = loaded[:5]
+        d, v, labels = _to_np(d), _to_np(v_t), np.asarray(_to_np(label)).ravel()
+        if d.ndim != 4 or v.ndim != 2 or v.shape[1] != d.shape[3]:
+            raise ValueError(
+                f"{path}: elements do not match [D (C,H,W,K), label, pred, "
+                f"v (N,K), loss]: d {d.shape}, v {v.shape}"
+            )
+    else:
+        raise ValueError(
+            f"{path}: unrecognized ADILR artifact — expected "
+            "[D, label, pred, v, loss] (adil_regularized.py:499) or "
+            "[d, v, loss, fooling, val_fool] (:815)"
+        )
+    d_np = ref_dict_to_atoms_first(d).astype(np.float32)
     payload = {
         "d": d_np,
-        "v": _to_np(v).astype(np.float32),
+        "v": v.astype(np.float32),
         "loss": np.asarray(_to_np(loss), np.float32).ravel(),
-        "labels": np.asarray(_to_np(label)).ravel(),
-        # kept for completeness (the reference stores the clean predictions
-        # alongside labels); ADILR's loaders ignore unknown keys
-        "pred": np.asarray(_to_np(pred)).ravel(),
     }
+    if labels is not None:
+        payload["labels"] = labels
     key = dict(model=model_name, lam1=lam1, lam2=lam2,
                atoms=int(atoms if atoms is not None else d_np.shape[0]),
                steps=int(steps), tag=tag)
@@ -145,9 +221,14 @@ def import_universal(path: str, save_path: str) -> str:
 
     The reference saves the raw (1,C,H,W) [or (C,H,W)] numpy perturbation;
     this framework's :func:`~..attacks.universal_perturbation` saves an
-    (H,W,C) array. Writes the converted array to ``save_path``.
+    (H,W,C) array. Returns the path actually written (np.save appends
+    ``.npy`` when missing — normalized here so the return value is real).
     """
+    import os
+
     v = np.load(path)
     v = ref_image_to_nhwc(np.asarray(v))[0]
+    if not save_path.endswith(".npy"):
+        save_path = save_path + ".npy"
     np.save(save_path, v.astype(np.float32))
     return save_path

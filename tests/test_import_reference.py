@@ -145,6 +145,58 @@ class TestAdilrImport:
         assert float(adv.min()) >= 0 and float(adv.max()) <= 1
 
 
+    def test_import_class_trainer_format(self, tmp_path, victim):
+        # The ADILR class's executed trainer saves the ADIL-style 5-list
+        # [d, v, loss_all, fooling_all, val_fool] (adil_regularized.py:815)
+        # — auto-detected by element shapes.
+        g = torch.Generator().manual_seed(4)
+        d = torch.randn((3, H, W, K), generator=g) * 0.01
+        v = torch.randn((N, K), generator=g) * 0.1
+        path = str(tmp_path / "adilr_class.bin")
+        torch.save([d, v, [1.0, 0.5], [0.0, 0.2], 0.3], path)
+        cache = ArtifactCache(str(tmp_path / "cache"))
+        # default tag matches the ADILR class default (param_selecting)
+        import_adilr(path, cache, "tiny", lam1=0.1, lam2=0.1, steps=100)
+        payload = cache.load("ADILR", model="tiny", lam1=0.1, lam2=0.1,
+                             atoms=K, steps=100, tag="param_selecting")
+        assert payload is not None
+        assert payload["d"].shape == (K, H, W, 3)
+        assert payload["v"].shape == (N, K)
+        # the codes (not a metric curve) landed in v
+        np.testing.assert_allclose(
+            payload["v"], v.numpy().astype(np.float32), atol=1e-7
+        )
+
+    def test_reject_garbage_artifact(self, tmp_path):
+        path = str(tmp_path / "bad.bin")
+        torch.save([torch.zeros((3, H, W, K)), torch.zeros((7,))], path)
+        cache = ArtifactCache(str(tmp_path / "cache"))
+        with pytest.raises(ValueError, match="ADILR"):
+            import_adilr(path, cache, "tiny", lam1=0.1, lam2=0.1)
+
+
+def test_ddp_module_artifact_clear_error(tmp_path):
+    # The DDP path pickles the whole module (adil.py:428); importing must
+    # fail with a message explaining the re-save recipe, not an obscure
+    # unpack error.
+    m = torch.nn.Linear(2, 2)
+    path = str(tmp_path / "ddp.bin")
+    torch.save([m, [0.1], [0.2]], path)
+    cache = ArtifactCache(str(tmp_path / "cache"))
+    with pytest.raises(ValueError, match="DDP"):
+        import_adil(path, cache, "tiny")
+
+
+def test_universal_out_path_normalized(tmp_path):
+    import os
+
+    v = np.random.default_rng(5).random((3, H, W)).astype(np.float32)
+    src = str(tmp_path / "pert.npy")
+    np.save(src, v)
+    out = import_universal(src, str(tmp_path / "converted"))  # no .npy
+    assert out.endswith(".npy") and os.path.exists(out)
+
+
 def test_universal_npy_roundtrip(tmp_path):
     v = np.random.default_rng(3).random((1, 3, H, W)).astype(np.float32)
     src = str(tmp_path / "pert.npy")
