@@ -28,7 +28,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
-def build_step(batch=64):
+def build_step(batch=64, model="resnet50", size=224):
     from dl_attack_on_imagenet_tpu.attacks import adil_core as core
     from dl_attack_on_imagenet_tpu.attacks.adil_core import AdilConfig
     from dl_attack_on_imagenet_tpu.models import create_model
@@ -39,14 +39,22 @@ def build_step(batch=64):
         eps=8 / 255, norm="linf", n_atoms=100, loss="logits", kappa=50.0,
         step_size=0.01, batch_size=batch, perturb_dtype="bfloat16",
     )
-    # Mirrors bench.py: blocked-input pipeline (see tests/test_blocked_pipeline.py).
-    victim = create_model(
-        "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        blocked_input=True, fold_bn=True,
-    )
-    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-    images = space_to_depth(jax.random.uniform(k1, (batch, 224, 224, 3)))
-    state = core.init_state(k2, (112, 112, 12), batch, cfg)
+    if model == "resnet50" and size == 224:
+        # Mirrors bench.py: blocked-input pipeline (tests/test_blocked_pipeline.py).
+        victim = create_model(
+            "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            blocked_input=True, fold_bn=True,
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        images = space_to_depth(jax.random.uniform(k1, (batch, 224, 224, 3)))
+        state = core.init_state(k2, (112, 112, 12), batch, cfg)
+    else:
+        # Any zoo victim, unblocked (the zoo_step_bench configuration).
+        victim = create_model(model, rng=jax.random.PRNGKey(0),
+                              dtype=jnp.bfloat16, input_size=size)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        images = jax.random.uniform(k1, (batch, size, size, 3))
+        state = core.init_state(k2, (size, size, 3), batch, cfg)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
     images = images.astype(jnp.bfloat16)
     step = jax.jit(core.make_train_step(victim.apply_fn, cfg, "both"),
@@ -161,10 +169,13 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
-    step, state, variables, images, labels, idx, mask = build_step(args.batch)
+    step, state, variables, images, labels, idx, mask = build_step(
+        args.batch, args.model, args.size)
     state, loss, _ = step(state, variables, images, labels, idx, mask)
     jax.block_until_ready(state.d)
 

@@ -45,7 +45,9 @@ ZOO = [
     ("resnet50", "resnet50", 224, {"stem_s2d": True, "fold_bn": True}),
     ("vgg11", "vgg11", 224, {}),
     ("densenet121", "densenet121", 224, {}),
+    ("densenet121_s2d", "densenet121", 224, {"stem_s2d": True}),
     ("googlenet", "googlenet", 224, {}),
+    ("googlenet_s2d", "googlenet", 224, {"stem_s2d": True}),
     ("googlenet_fold", "googlenet", 224, {"fold_bn": True}),
     ("mobilenet_v2", "mobilenet_v2", 224, {}),
     ("mobilenet_v2_fold", "mobilenet_v2", 224, {"fold_bn": True}),

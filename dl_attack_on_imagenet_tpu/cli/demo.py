@@ -79,11 +79,23 @@ def main(args) -> dict:
     else:
         victim_kwargs = {}
         if getattr(args, "fast_victim", False):
+            # Per-architecture fast knobs (all mathematically exact —
+            # tests/test_s2d_stem.py, tests/test_fold_bn.py; measured in
+            # BENCHMARKS.md round 3): ResNets take stem_s2d + fold_bn,
+            # densenet/googlenet share the same 7x7/s2 stem so stem_s2d
+            # applies (+6-11% steps), googlenet/inception/mobilenet fold
+            # their eval-mode BNs (perf-neutral but harmless).
             if "resnet" in args.model:
                 victim_kwargs = dict(stem_s2d=True, fold_bn=True)
+            elif "densenet" in args.model:
+                victim_kwargs = dict(stem_s2d=True)
+            elif "googlenet" in args.model:
+                victim_kwargs = dict(stem_s2d=True, fold_bn=True)
+            elif "inception" in args.model or "mobilenet" in args.model:
+                victim_kwargs = dict(fold_bn=True)
             else:
-                print(f"warning: --fast-victim only applies to ResNet models; "
-                      f"ignored for '{args.model}'")
+                print(f"warning: --fast-victim has no knobs for "
+                      f"'{args.model}'; ignored")
         # Blanket input size for every victim (incl. inception) — the
         # reference's single dataset transform (DS_ImageNet.py:14-18).
         from ..models import blanket_input_size

@@ -12,6 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import global_avg_pool, max_pool
+from .resnet import S2DStem
 
 
 class DenseLayer(nn.Module):
@@ -48,16 +49,28 @@ class DenseNet(nn.Module):
     num_init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # DenseNet's stem is the same 7x7/s2 conv+BN+relu+maxpool as ResNet's,
+    # and its input-gradient is likewise the single most expensive op of
+    # the attack step (3.32 ms of a 25.9 ms step on v5e, profiler-measured)
+    # — the S2DStem applies unchanged (resnet.py:18; exactness via the same
+    # relu/max_pool commute, tests/test_s2d_stem.py).
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)),  # torch conv0 pad=3
-                    use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
-        x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = S2DStem(self.num_init_features, dtype=self.dtype,
+                        relu=False)(x)
+            x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+            x = nn.relu(x)
+        else:
+            x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),  # torch conv0 pad=3
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
+            x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
         features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
@@ -74,9 +87,13 @@ class DenseNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def densenet121(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
-    return DenseNet([6, 12, 24, 16], num_classes=num_classes, dtype=dtype)
+def densenet121(num_classes: int = 1000, dtype=jnp.float32,
+                stem_s2d: bool = False) -> DenseNet:
+    return DenseNet([6, 12, 24, 16], num_classes=num_classes, dtype=dtype,
+                    stem_s2d=stem_s2d)
 
 
-def densenet169(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
-    return DenseNet([6, 12, 32, 32], num_classes=num_classes, dtype=dtype)
+def densenet169(num_classes: int = 1000, dtype=jnp.float32,
+                stem_s2d: bool = False) -> DenseNet:
+    return DenseNet([6, 12, 32, 32], num_classes=num_classes, dtype=dtype,
+                    stem_s2d=stem_s2d)

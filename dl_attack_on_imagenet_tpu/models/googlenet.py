@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import ConvBN, global_avg_pool, max_pool, torch_transform_input
+from .resnet import S2DStem
 
 _BN_EPS = 1e-3  # torchvision BasicConv2d: BatchNorm2d(out_channels, eps=0.001)
 
@@ -61,6 +62,10 @@ class GoogLeNet(nn.Module):
     transform_input: bool = True
     # Frozen eval-mode BNs folded into conv kernels (exact; models/fold.py).
     fold_bn: bool = False
+    # Same 7x7/s2 stem geometry as ResNet — the S2DStem halves the attack's
+    # most expensive op (the stem input-gradient; resnet.py:18). Exact via
+    # the relu/max_pool commute (tests/test_s2d_stem.py).
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -70,8 +75,14 @@ class GoogLeNet(nn.Module):
                                         fold_bn=self.fold_bn)
         if self.transform_input:
             x = torch_transform_input(x)
-        x = cbn(64, (7, 7), (2, 2))(x)
-        x = max_pool(x, (3, 3), (2, 2))
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
+                        relu=False, bn_eps=_BN_EPS)(x)
+            x = max_pool(x, (3, 3), (2, 2))
+            x = nn.relu(x)
+        else:
+            x = cbn(64, (7, 7), (2, 2))(x)
+            x = max_pool(x, (3, 3), (2, 2))
         x = cbn(64, (1, 1))(x)
         x = cbn(192, (3, 3))(x)
         x = max_pool(x, (3, 3), (2, 2))
@@ -94,6 +105,7 @@ class GoogLeNet(nn.Module):
 
 def googlenet(num_classes: int = 1000, dtype=jnp.float32,
               transform_input: bool = True,
-              fold_bn: bool = False) -> GoogLeNet:
+              fold_bn: bool = False, stem_s2d: bool = False) -> GoogLeNet:
     return GoogLeNet(num_classes=num_classes, dtype=dtype,
-                     transform_input=transform_input, fold_bn=fold_bn)
+                     transform_input=transform_input, fold_bn=fold_bn,
+                     stem_s2d=stem_s2d)

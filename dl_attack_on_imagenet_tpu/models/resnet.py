@@ -34,6 +34,7 @@ class S2DStem(nn.Module):
     dtype: Any = jnp.float32
     fold_bn: bool = False  # frozen BN absorbed into kernel+bias (see ConvBN)
     relu: bool = True  # deferred by ResNet: relu commutes with max_pool
+    bn_eps: float = 1e-5  # GoogLeNet's BasicConv2d stem uses 1e-3
     # blocked_input: the caller feeds the (N,H/2,W/2,4C) blocked tensor
     # directly (layers.space_to_depth order) and the stem skips its own
     # block reshape. Lets an attack keep its perturbation state in the
@@ -81,7 +82,8 @@ class S2DStem(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
         else:
-            y = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
+            y = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps,
+                             dtype=self.dtype)(y)
         return nn.relu(y) if self.relu else y
 
 

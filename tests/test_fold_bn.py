@@ -87,3 +87,8 @@ def test_fold_inception_v3():
 
 def test_fold_mobilenet_v2():
     _check("mobilenet_v2")
+
+
+def test_fold_googlenet_s2d_stem():
+    # fold + s2d stem compose (S2DStem's fold path with the 1e-3 stem eps)
+    _check("googlenet", stem_s2d=True)
