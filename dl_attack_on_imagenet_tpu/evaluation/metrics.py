@@ -6,6 +6,7 @@ model_accuracy.py (serial + DDP top-1 accuracy).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -14,6 +15,30 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import VictimModel
+
+
+@functools.lru_cache(maxsize=None)
+def _correct_fn(apply_fn):
+    """Jitted correct-count shared across accuracy calls (one victim-forward
+    trace per victim, not per model_accuracy invocation — the transfer
+    matrix calls this once per zoo member)."""
+
+    @jax.jit
+    def correct(vars_, x, y):
+        pred = jnp.argmax(apply_fn(vars_, x).astype(jnp.float32), -1)
+        return jnp.sum(pred == y)
+
+    return correct
+
+
+@functools.lru_cache(maxsize=None)
+def _correct_masked_fn(apply_fn):
+    @jax.jit
+    def correct(vars_, x, y, m):
+        pred = jnp.argmax(apply_fn(vars_, x).astype(jnp.float32), -1)
+        return jnp.sum((pred == y) * m)
+
+    return correct
 
 
 def compute_fooling_rate(victim: VictimModel, adversary, clean, reduction="sum",
@@ -53,11 +78,7 @@ def model_accuracy(dataset, victim: VictimModel, batch_size: int = 128) -> float
     from ..data import as_array_dataset
 
     ds = as_array_dataset(dataset)
-
-    @jax.jit
-    def correct(vars_, x, y):
-        pred = jnp.argmax(victim.apply_fn(vars_, x).astype(jnp.float32), -1)
-        return jnp.sum(pred == y)
+    correct = _correct_fn(victim.apply_fn)
 
     total = 0
     for _, x, y in ds.batches(batch_size):
@@ -77,11 +98,7 @@ def model_accuracy_sharded(
 
     ds = as_array_dataset(dataset)
     n_dev = mesh.devices.size
-
-    @jax.jit
-    def correct(vars_, x, y, m):
-        pred = jnp.argmax(victim.apply_fn(vars_, x).astype(jnp.float32), -1)
-        return jnp.sum((pred == y) * m)
+    correct = _correct_masked_fn(victim.apply_fn)
 
     total = 0.0
     step = batch_size * n_dev
