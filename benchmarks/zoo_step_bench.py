@@ -46,8 +46,10 @@ ZOO = [
     ("vgg11", "vgg11", 224, {}),
     ("densenet121", "densenet121", 224, {}),
     ("densenet121_s2d", "densenet121", 224, {"stem_s2d": True}),
+    ("densenet121_blocked", "densenet121", 224, {"blocked_input": True}),
     ("googlenet", "googlenet", 224, {}),
     ("googlenet_s2d", "googlenet", 224, {"stem_s2d": True}),
+    ("googlenet_blocked", "googlenet", 224, {"blocked_input": True}),
     ("googlenet_fold", "googlenet", 224, {"fold_bn": True}),
     ("mobilenet_v2", "mobilenet_v2", 224, {}),
     ("mobilenet_v2_fold", "mobilenet_v2", 224, {"fold_bn": True}),
@@ -71,8 +73,16 @@ def bench_victim(tag, name, size, kwargs):
     victim = create_model(name, rng=jax.random.PRNGKey(0),
                           dtype=jnp.bfloat16, input_size=size, **kwargs)
     key = jax.random.PRNGKey(1)
-    images = jax.random.uniform(key, (BATCH, size, size, 3))
-    state = core.init_state(jax.random.PRNGKey(2), (size, size, 3), BATCH, cfg)
+    if kwargs.get("blocked_input"):
+        from dl_attack_on_imagenet_tpu.models.layers import space_to_depth
+
+        images = space_to_depth(jax.random.uniform(key, (BATCH, size, size, 3)))
+        state = core.init_state(jax.random.PRNGKey(2),
+                                (size // 2, size // 2, 12), BATCH, cfg)
+    else:
+        images = jax.random.uniform(key, (BATCH, size, size, 3))
+        state = core.init_state(jax.random.PRNGKey(2), (size, size, 3),
+                                BATCH, cfg)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
     images = images.astype(jnp.bfloat16)
     idx = jnp.arange(BATCH)

@@ -409,6 +409,10 @@ class ADIL(Attack):
         # tests/test_blocked_pipeline.py; artifacts are unblocked below.
         twin = self._blocked_victim(ds.image_shape)
         self._train_blocked = twin is not None
+        # Persistent record of the dispatch (the working flag above is
+        # cleared once artifacts are presented) — introspection for users
+        # and tests.
+        self.trained_blocked = self._train_blocked
         if twin is not None:
             from ..models.layers import space_to_depth
 

@@ -188,6 +188,12 @@ def blocked_twin(victim: VictimModel):
     twin = getattr(victim, "_blocked_twin", None)
     if twin is not None:
         return twin
+    kwargs = {}
+    # Only forward module config the victim's constructor actually carries
+    # (DenseNet has no fold_bn; GoogLeNet's transform_input must survive).
+    for field in ("fold_bn", "transform_input"):
+        if hasattr(module, field):
+            kwargs[field] = getattr(module, field)
     try:
         twin = create_model(
             victim.name,
@@ -196,10 +202,10 @@ def blocked_twin(victim: VictimModel):
             variables=victim.variables,
             input_size=victim.input_size,
             blocked_input=True,
-            fold_bn=getattr(module, "fold_bn", False),
             normalize=victim.normalize,
             mean=victim.mean,
             std=victim.std,
+            **kwargs,
         )
     except TypeError:
         return None

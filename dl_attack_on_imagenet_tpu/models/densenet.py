@@ -55,10 +55,17 @@ class DenseNet(nn.Module):
     # — the S2DStem applies unchanged (resnet.py:18; exactness via the same
     # relu/max_pool commute, tests/test_s2d_stem.py).
     stem_s2d: bool = False
+    # Accept pre-blocked (N,H/2,W/2,12) input (see S2DStem.blocked_input).
+    blocked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if self.blocked_input:
+            x = S2DStem(self.num_init_features, dtype=self.dtype,
+                        relu=False, blocked_input=True)(x)
+            x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+            x = nn.relu(x)
+        elif self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = S2DStem(self.num_init_features, dtype=self.dtype,
                         relu=False)(x)
             x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -88,12 +95,14 @@ class DenseNet(nn.Module):
 
 
 def densenet121(num_classes: int = 1000, dtype=jnp.float32,
-                stem_s2d: bool = False) -> DenseNet:
+                stem_s2d: bool = False,
+                blocked_input: bool = False) -> DenseNet:
     return DenseNet([6, 12, 24, 16], num_classes=num_classes, dtype=dtype,
-                    stem_s2d=stem_s2d)
+                    stem_s2d=stem_s2d, blocked_input=blocked_input)
 
 
 def densenet169(num_classes: int = 1000, dtype=jnp.float32,
-                stem_s2d: bool = False) -> DenseNet:
+                stem_s2d: bool = False,
+                blocked_input: bool = False) -> DenseNet:
     return DenseNet([6, 12, 32, 32], num_classes=num_classes, dtype=dtype,
-                    stem_s2d=stem_s2d)
+                    stem_s2d=stem_s2d, blocked_input=blocked_input)

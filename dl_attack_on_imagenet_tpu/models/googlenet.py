@@ -66,6 +66,9 @@ class GoogLeNet(nn.Module):
     # most expensive op (the stem input-gradient; resnet.py:18). Exact via
     # the relu/max_pool commute (tests/test_s2d_stem.py).
     stem_s2d: bool = False
+    # Accept pre-blocked (N,H/2,W/2,12) input (see S2DStem.blocked_input);
+    # transform_input tiles its 3-channel affine to the blocked order.
+    blocked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -75,7 +78,12 @@ class GoogLeNet(nn.Module):
                                         fold_bn=self.fold_bn)
         if self.transform_input:
             x = torch_transform_input(x)
-        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if self.blocked_input:
+            x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
+                        relu=False, bn_eps=_BN_EPS, blocked_input=True)(x)
+            x = max_pool(x, (3, 3), (2, 2))
+            x = nn.relu(x)
+        elif self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
                         relu=False, bn_eps=_BN_EPS)(x)
             x = max_pool(x, (3, 3), (2, 2))
@@ -105,7 +113,8 @@ class GoogLeNet(nn.Module):
 
 def googlenet(num_classes: int = 1000, dtype=jnp.float32,
               transform_input: bool = True,
-              fold_bn: bool = False, stem_s2d: bool = False) -> GoogLeNet:
+              fold_bn: bool = False, stem_s2d: bool = False,
+              blocked_input: bool = False) -> GoogLeNet:
     return GoogLeNet(num_classes=num_classes, dtype=dtype,
                      transform_input=transform_input, fold_bn=fold_bn,
-                     stem_s2d=stem_s2d)
+                     stem_s2d=stem_s2d, blocked_input=blocked_input)

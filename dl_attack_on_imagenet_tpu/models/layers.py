@@ -44,8 +44,12 @@ def torch_transform_input(x: jax.Array) -> jax.Array:
     wrapper (main.py:54-58). Reproducing the reference's victim function
     (and its input gradients) requires this extra affine.
     """
-    std = jnp.asarray(IMAGENET_STD, x.dtype) / 0.5
-    mean = (jnp.asarray(IMAGENET_MEAN, x.dtype) - 0.5) / 0.5
+    # Space-to-depth blocked inputs carry (ki, kj, c) channels, c fastest —
+    # tile the 3-channel affine accordingly (same rule as create_model's
+    # in-graph normalization).
+    reps = x.shape[-1] // 3
+    std = jnp.tile(jnp.asarray(IMAGENET_STD, x.dtype), reps) / 0.5
+    mean = (jnp.tile(jnp.asarray(IMAGENET_MEAN, x.dtype), reps) - 0.5) / 0.5
     return x * std + mean
 
 

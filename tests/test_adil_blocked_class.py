@@ -165,3 +165,30 @@ def test_dp_blocked_matches_standard(victim, dataset):
     frac_off = np.mean(np.abs(np.asarray(d_a) - np.asarray(d_b)) > 1e-3)
     assert frac_off < 0.05, f"{frac_off:.4f} of D differs by >1e-3"
     np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["densenet121", "googlenet"])
+def test_blocked_pipeline_beyond_resnet(name, dataset, tmp_path):
+    """DenseNet/GoogLeNet share ResNet's 7x7/s2 stem, so stem_s2d victims
+    get the blocked training pipeline too (round 3). Twin == standard on
+    the same variables, and blocked training reproduces the standard
+    trajectory with unblocked artifacts."""
+    from dl_attack_on_imagenet_tpu.models import blocked_twin
+    from dl_attack_on_imagenet_tpu.models.layers import space_to_depth
+
+    v = create_model(name, num_classes=10, rng=jax.random.PRNGKey(5),
+                     input_size=32, stem_s2d=True)
+    twin = blocked_twin(v)
+    assert twin is not None
+    x = jnp.asarray(dataset.images[:4])
+    a = np.asarray(v(x))
+    b = np.asarray(twin.apply_fn(twin.variables, space_to_depth(x)))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+    atk_b, pay_b = _train(v, dataset, tmp_path, f"blk_{name}", blocked="auto")
+    assert atk_b.trained_blocked
+    assert pay_b["d"].shape == (4, 32, 32, 3)
+    atk_s, pay_s = _train(v, dataset, tmp_path, f"std_{name}", blocked=False)
+    np.testing.assert_allclose(pay_b["loss"], pay_s["loss"], rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(pay_b["d"], pay_s["d"], atol=2e-4)
