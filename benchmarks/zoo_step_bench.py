@@ -100,13 +100,34 @@ def bench_victim(tag, name, size, kwargs):
         state, losses, foolings = scan(state, victim.variables, images, labels, idx, mask)
     jax.block_until_ready(state.d)
     dt = (time.perf_counter() - t0) / (n_dispatch * SCAN_LEN)
-    print(json.dumps({
+    row = {
         "victim": tag, "input": size,
         "ms_per_step": round(dt * 1e3, 2),
         "iters_per_sec": round(1.0 / dt, 1),
         "img_per_sec": round(BATCH / dt, 0),
         "first_call_s": round(compile_s, 1),
-    }), flush=True)
+    }
+    try:
+        # XLA's own flop count for the compiled scan -> fraction of the
+        # chip's MEASURED 83 TF/s chained-matmul ceiling (BENCHMARKS.md
+        # round 2) the step achieves. XLA's cost model counts a scan body
+        # ONCE (verified: 30-step scan == single step to 0.003%), so the
+        # reported total IS the per-step count. Matmul-light victims are
+        # legitimately low here (their steps are HBM-bandwidth-bound, not
+        # MXU-bound).
+        cost = scan.lower(state, victim.variables, images, labels, idx,
+                          mask).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            row["gflops_per_step"] = round(flops / 1e9, 1)
+            row["achieved_tf_s"] = round(flops / dt / 1e12, 1)
+            # v5e spec bf16 peak. The repo's measured 83 TF/s "chained
+            # matmul" ceiling (BENCHMARKS.md round 2) is shape-specific
+            # and conservative: the ViT step sustains ~118 TF/s.
+            row["pct_of_197tf_peak"] = round(100 * flops / dt / 197e12, 1)
+    except Exception:
+        pass
+    print(json.dumps(row), flush=True)
 
 
 def main():
