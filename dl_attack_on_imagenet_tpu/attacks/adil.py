@@ -172,6 +172,9 @@ class ADIL(Attack):
 
         self.metrics = MetricLogger(metrics_log)
         self.dictionary: Optional[jax.Array] = None
+        # Whether the LAST training run used the blocked layout (the
+        # streamed/folder/alter paths always train unblocked).
+        self.trained_blocked = False
         self.history: dict = {}
         self.timing: dict = {}
         self._rng_calls = 0  # per-call fold so equal-sized batches differ

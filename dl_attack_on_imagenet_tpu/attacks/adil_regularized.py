@@ -996,7 +996,13 @@ class ADILR(Attack):
         payload = self.cache.load("ADILR", **self._key)
         v = np.asarray(payload["v"])
         ds = as_array_dataset(data_train) if data_train is not None else None
-        self._fit_laplace(v, ds, labels=np.asarray(payload.get("labels")))
+        # Imported class-trainer artifacts (adil_regularized.py:815 format)
+        # carry no labels — keep None so _fit_laplace falls back to the
+        # provided dataset's labels instead of a 0-d object array.
+        labels = payload.get("labels")
+        self._fit_laplace(
+            v, ds, labels=None if labels is None else np.asarray(labels)
+        )
 
     def _fit_laplace(self, v: np.ndarray, ds=None, labels: Optional[np.ndarray] = None):
         """All four conditioning modes (utils.py:60-70)."""

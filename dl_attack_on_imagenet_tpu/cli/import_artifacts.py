@@ -37,8 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--src", required=True, help="reference artifact path")
     p.add_argument("--model", default=None,
                    help="victim model name the artifact was trained against")
-    p.add_argument("--cache", default="trained_dicts",
-                   help="ArtifactCache root to write into (default trained_dicts)")
+    p.add_argument("--cache", default=None,
+                   help="ArtifactCache root to write into (default: each "
+                        "attack class's own default root — trained_dicts, "
+                        "or dict_model_ImageNet for adilr)")
     p.add_argument("--backend", default="msgpack", choices=["msgpack", "orbax"])
     # ADILR memoization hypers (adil_regularized.py:683-686); --tag default
     # matches the ADILR class default param_or_train='param_selecting' so a
@@ -67,7 +69,14 @@ def main(argv=None) -> str:
     else:
         if not args.model:
             raise SystemExit("--model is required for attack artifacts")
-        cache = ArtifactCache(args.cache, backend=args.backend)
+        # Match each class's default memoization root so a default-flags
+        # import is found by a default-flags constructor (ADIL/UAPPGD/
+        # FastUAP default to trained_dicts; ADILR to dict_model_ImageNet,
+        # adil_regularized.py:914).
+        root = args.cache or (
+            "dict_model_ImageNet" if args.kind == "adilr" else "trained_dicts"
+        )
+        cache = ArtifactCache(root, backend=args.backend)
         if args.kind == "adil":
             path = import_adil(args.src, cache, args.model)
         elif args.kind == "adilr":

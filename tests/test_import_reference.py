@@ -167,6 +167,27 @@ class TestAdilrImport:
             payload["v"], v.numpy().astype(np.float32), atol=1e-7
         )
 
+    def test_class_format_import_serves_labels_atoms(self, tmp_path, victim):
+        # Class-trainer artifacts carry no labels; the conditioned Laplace
+        # fit must fall back to the provided dataset's labels (not be
+        # suppressed by a 0-d object array from np.asarray(None)).
+        g = torch.Generator().manual_seed(6)
+        d = torch.randn((3, H, W, K), generator=g) * 0.01
+        v = torch.randn((N, K), generator=g) * 0.1
+        path = str(tmp_path / "adilr_class2.bin")
+        torch.save([d, v, [1.0, 0.5], [0.0, 0.2], 0.3], path)
+        cache = ArtifactCache(str(tmp_path / "cache"))
+        import_adilr(path, cache, "tiny", lam1=0.1, lam2=0.1, steps=100)
+        x = np.random.default_rng(6).random((N, H, W, 3)).astype(np.float32)
+        y = (np.arange(N) % 3).astype(np.int64)
+        atk = ADILR(victim, lambda_l1=0.1, lambda_l2=0.1, n_atoms=K,
+                    steps=100, cache=cache, model_name="tiny",
+                    attack="unsupervised", trials=2,
+                    attack_conditioned="labels_atoms", data_train=(x, y))
+        assert "labels_atoms" in atk.mean
+        adv = atk(jnp.asarray(x[:4]), jnp.asarray(y[:4]))
+        assert adv.shape == (4, H, W, 3)
+
     def test_reject_garbage_artifact(self, tmp_path):
         path = str(tmp_path / "bad.bin")
         torch.save([torch.zeros((3, H, W, K)), torch.zeros((7,))], path)
