@@ -192,3 +192,50 @@ def test_blocked_pipeline_beyond_resnet(name, dataset, tmp_path):
     np.testing.assert_allclose(pay_b["loss"], pay_s["loss"], rtol=2e-4,
                                atol=2e-5)
     np.testing.assert_allclose(pay_b["d"], pay_s["d"], atol=2e-4)
+
+
+def test_dp_blocked_beyond_resnet(dataset):
+    """The mesh path's blocked='auto' works for the round-3 s2d victims
+    (DenseNet shares ResNet's stem geometry) and reproduces the standard
+    mesh trajectory."""
+    import jax.numpy as jnp
+
+    from dl_attack_on_imagenet_tpu.attacks import AdilConfig
+    from dl_attack_on_imagenet_tpu.parallel import (
+        data_mesh,
+        learn_dictionary_distributed,
+    )
+
+    v = create_model("densenet121", num_classes=10, rng=jax.random.PRNGKey(6),
+                     input_size=32, stem_s2d=True)
+    cfg = AdilConfig(eps=8 / 255, n_atoms=4, loss="ce", steps=2, batch_size=8)
+    mesh = data_mesh(4)
+    d_init = jnp.asarray(
+        np.asarray(jax.random.uniform(jax.random.PRNGKey(9), (4, 32, 32, 3),
+                                      minval=-1.0, maxval=1.0))
+    )
+    d_a, v_a, hist_a = learn_dictionary_distributed(
+        v, dataset, cfg, mesh, d_init=d_init, blocked=False,
+    )
+    d_b, v_b, hist_b = learn_dictionary_distributed(
+        v, dataset, cfg, mesh, d_init=d_init, blocked="auto",
+    )
+    assert d_b.shape == (4, 32, 32, 3)
+    np.testing.assert_allclose(hist_a["loss"], hist_b["loss"], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["densenet121", "googlenet"])
+def test_blocked_inference_beyond_resnet(name, dataset, tmp_path):
+    """Supervised inference routes through the blocked twin for the new
+    s2d victims and matches the standard-layout solve."""
+    v = create_model(name, num_classes=10, rng=jax.random.PRNGKey(7),
+                     input_size=32, stem_s2d=True)
+    atk, payload = _train(v, dataset, tmp_path, f"inf_{name}",
+                          blocked="auto", steps_inference=3)
+    x = jnp.asarray(dataset.images[:4])
+    adv_fast = atk(x)
+    atk.blocked = False  # _blocked_victim now returns None -> standard path
+    adv_std = atk(x)
+    np.testing.assert_allclose(np.asarray(adv_fast), np.asarray(adv_std),
+                               atol=2e-4)
