@@ -158,6 +158,25 @@ def main(only=()):
         record("uappgd_epoch_n256_b64_presliced", dt, "s/epoch (4 batches)",
                f"gather-free scan; {n/dt:.0f} img/s")
 
+    # --- Per-image gradient baselines (the driver's commented torchattacks
+    # comparisons, demo_dL_attack.py:96-113)
+    if want("pgd_family"):
+        from dl_attack_on_imagenet_tpu.attacks import BIM, FGSM, PGD
+        from dl_attack_on_imagenet_tpu.models import VictimModel
+
+        victim_model = VictimModel(
+            name="resnet50", module=victim.module, variables=variables,
+            input_size=SIZE, num_classes=1000, apply_fn=apply_fn,
+        )
+        for tag, atk in (
+            ("fgsm", FGSM(victim_model, eps=8 / 255)),
+            ("pgd10", PGD(victim_model, eps=8 / 255, alpha=2 / 255, steps=10)),
+            ("bim10", BIM(victim_model, eps=8 / 255, alpha=2 / 255, steps=10)),
+        ):
+            dt = timed(lambda a=atk: a(x64, labels64))
+            record(f"{tag}_b64", dt, "s/batch (b64)",
+                   f"pgd.py; {64/dt:.0f} img/s")
+
     # --- DeepFool (batched lockstep)
     if want("deepfool"):
         df = jax.jit(
