@@ -214,6 +214,14 @@ class ADIL(Attack):
         return jax.random.PRNGKey(self.seed)
 
     def learn_dictionary(self, data_train, data_val=None):
+        # Folder-backed datasets dispatch FIRST: with a mesh set,
+        # _dispatch_folder materializes to arrays (native streaming is
+        # single-controller) and the mesh branch below consumes them — the
+        # old order handed the raw folder to as_array_dataset and crashed.
+        if self._is_path_dataset(data_train):
+            data_train, data_val = self._dispatch_folder(data_train, data_val)
+            if data_train is None:
+                return  # trained natively from raw JPEGs
         if self.mesh is not None:
             from ..parallel import learn_dictionary_distributed
 
@@ -232,10 +240,6 @@ class ADIL(Attack):
             )
             self._save(d, v, history)
             return
-        if self._is_path_dataset(data_train):
-            data_train, data_val = self._dispatch_folder(data_train, data_val)
-            if data_train is None:
-                return  # trained natively from raw JPEGs
         if self.method == "alter":
             self._learn_alter(data_train, data_val)
         elif self._should_stream(data_train):
@@ -327,10 +331,31 @@ class ADIL(Attack):
         if d.ndim == 2:  # flat training layout -> presentation shape
             d = core.d_image(d, ds.image_shape)
         total = 0.0
-        for _, x, _ in ds.batches(self.cfg.batch_size):
-            total += float(
-                self._val_fn(self.victim.variables, d, jnp.asarray(x, jnp.float32))
-            )
+        b = self.cfg.batch_size
+        for _, x, _ in ds.batches(b):
+            k = x.shape[0]
+            if k < b:
+                # Pad the ragged tail by cycling rows: the jitted val solver
+                # keeps ONE compiled shape (a second compile of the heaviest
+                # inference solver costs minutes on the TPU tunnel — the
+                # same hazard evaluation/harness.py pads against). The
+                # tail's fooling is estimated as the padded batch's rate
+                # scaled to k rows — exact when k divides b, otherwise rows
+                # with an extra copy weigh slightly more; the bias is
+                # bounded by the tail fraction of ONE batch over the whole
+                # val set, fine for a per-epoch progress metric
+                # (adil.py:199-205).
+                reps = -(-b // k)
+                x = np.concatenate([np.asarray(x)] * reps)[:b]
+                total += float(
+                    self._val_fn(self.victim.variables, d,
+                                 jnp.asarray(x, jnp.float32))
+                ) * (k / b)
+            else:
+                total += float(
+                    self._val_fn(self.victim.variables, d,
+                                 jnp.asarray(x, jnp.float32))
+                )
         return total / len(ds)
 
     # -- mid-training checkpointing (step-level resume; the reference only
@@ -552,6 +577,11 @@ class ADIL(Attack):
         full-ImageNet-val universal dictionary, BASELINE.json config 4). The
         reference's analog is the pinned-memory DataLoader (adil.py:130).
         """
+        # This path always trains in the STANDARD layout: reset the blocked
+        # flags so a prior (possibly crashed) blocked run can't leak its
+        # s2d checkpoint kind or stale introspection into this one.
+        self._train_blocked = False
+        self.trained_blocked = False
         import numpy as np
 
         from ..data import prefetch_to_device
@@ -664,6 +694,9 @@ class ADIL(Attack):
         pinned-memory DataLoader feeding learn_dictionary (adil.py:130,
         :362-364).
         """
+        # Standard layout only (see _learn_gd_streamed note).
+        self._train_blocked = False
+        self.trained_blocked = False
         import numpy as np
 
         from ..data import prefetch_to_device
@@ -764,6 +797,9 @@ class ADIL(Attack):
 
     def _learn_alter(self, data_train, data_val):
         """Alternating v-phase / d-phase. Reference: adil.py:212-332."""
+        # Standard layout only (see _learn_gd_streamed note).
+        self._train_blocked = False
+        self.trained_blocked = False
         ds, images, n, key, state = self._prepare(data_train, "alter")
         labels = core.predict_labels(self.victim.apply_fn, self.victim.variables, images)
         # Pre-sliced epochs, same as _learn_gd (one dataset gather per

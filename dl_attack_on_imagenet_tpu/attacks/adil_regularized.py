@@ -611,10 +611,18 @@ def adilr_adamw(
     lr, _, lam2, coeff = _hp(cfg)
     kappa = jnp.float32(cfg.kappa)
 
-    val_cfg = AdilConfig(
-        eps=cfg.eps, norm=cfg.norm, n_atoms=cfg.n_atoms, loss=cfg.loss,
-        kappa=cfg.kappa, targeted=cfg.targeted,
-    )
+    # Jitted val solver shared with the ADIL class path (eps/kappa traced)
+    # — an eager supervised_adamw_codes call here re-traced+recompiled the
+    # while_loop solver EVERY val epoch (minutes each on the TPU tunnel).
+    val_fn = None
+    if val_images is not None:
+        from .adil import _solver_cache
+
+        val_cfg = AdilConfig(
+            eps=cfg.eps, norm=cfg.norm, n_atoms=cfg.n_atoms, loss=cfg.loss,
+            kappa=cfg.kappa, targeted=cfg.targeted,
+        )
+        val_fn = _solver_cache(apply_fn, val_cfg)["val"]
 
     losses, fooling_rates, val_fools = [], [], []
     for ep in range(nepochs):
@@ -630,10 +638,9 @@ def adilr_adamw(
         )
         losses.append(float(loss_sum) / n)
         fooling_rates.append(float(fool_sum) / n)
-        if val_images is not None:
-            fooled = supervised_adamw_codes(
-                apply_fn, variables, d, val_images, val_cfg, return_fooling=True
-            )
+        if val_fn is not None:
+            fooled = val_fn(variables, d, val_images,
+                            jnp.float32(cfg.eps), jnp.float32(cfg.kappa))
             val_fools.append(float(fooled) / val_images.shape[0])
         if ep > 1 and abs(losses[-1] - losses[-2]) < tol:
             break

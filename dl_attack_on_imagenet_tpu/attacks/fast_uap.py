@@ -73,6 +73,13 @@ class FastUAP(Attack):
         if not self.cache.exists("FastUAP", model=self.model_name) and data_train is not None:
             self.learn_attack(data_train, data_val)
 
+    @property
+    def is_trained(self) -> bool:
+        """Whether forward() would skip its lazy learn (fast_uap.py:103-105)."""
+        return self.attack_vec is not None or self.cache.exists(
+            "FastUAP", model=self.model_name
+        )
+
     def learn_attack(self, data_train, data_val=None):
         ds = as_array_dataset(data_train)
         images = jnp.asarray(ds.images, jnp.float32)

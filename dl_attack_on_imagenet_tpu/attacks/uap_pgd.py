@@ -275,6 +275,13 @@ class UAPPGD(Attack):
         if not self.cache.exists("UAPPGD", model=self.model_name) and data_train is not None:
             self.learn_attack(data_train, data_val)
 
+    @property
+    def is_trained(self) -> bool:
+        """Whether forward() would skip its lazy learn (uappgd.py:169-174)."""
+        return self.attack_vec is not None or self.cache.exists(
+            "UAPPGD", model=self.model_name
+        )
+
     def make_optimizer(self):
         # Single source of truth with the cached jitted epoch (uap_pgd.py:
         # _uap_epoch_cache builds its optimizer from the same dispatch) so
@@ -324,8 +331,6 @@ class UAPPGD(Attack):
         for it in range(self.steps):
             key, sub = jax.random.split(key)
             if self.mesh is not None:
-                from ..parallel.adil_dp import make_local_batches
-
                 batches = jax.device_put(
                     jnp.asarray(make_local_batches(sub, n, self.mesh.devices.size, self.batch_size)),
                     NamedSharding(self.mesh, P("data", None, None)),

@@ -23,7 +23,7 @@ import numpy as np
 from ..data import as_array_dataset
 from ..models import VictimModel
 from .deepfool import cached_deepfool, cached_predict_fn
-from .uap_pgd import additive_fooling_rate, fold_increments, project_uap
+from .uap_pgd import additive_fooling_rate, fold_increments
 
 
 def universal_perturbation(

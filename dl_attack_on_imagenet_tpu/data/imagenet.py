@@ -45,8 +45,14 @@ def default_transform(img, size: int = 224, resize: int = 256) -> np.ndarray:
     from PIL import Image
 
     w, h = img.size
-    scale = resize / min(w, h)
-    img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+    # torchvision computes the long side as int(size * long / short) —
+    # TRUNCATION, not round() (F._compute_resized_output_size); round()
+    # shifts the center crop by one pixel for ~half of aspect ratios.
+    if w <= h:
+        new_w, new_h = resize, int(resize * h / w)
+    else:
+        new_w, new_h = int(resize * w / h), resize
+    img = img.resize((new_w, new_h), Image.BILINEAR)
     w, h = img.size
     left = (w - size) // 2
     top = (h - size) // 2

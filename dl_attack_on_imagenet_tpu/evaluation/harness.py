@@ -73,22 +73,29 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
         b = x.shape[0]
         xk, yk = x[keep], y[keep]
         if k < b:
-            if getattr(attack, "is_trained", True) is False and hasattr(
-                attack, "learn_dictionary"
-            ):
-                # Arity probe up front (ADIL takes (data_train, data_val),
-                # ADILR takes (data_train) only) — catching TypeError around
-                # the call itself would mask a genuine TypeError raised
-                # mid-training and silently re-run the whole training.
-                import inspect
+            if getattr(attack, "is_trained", True) is False:
+                if hasattr(attack, "learn_dictionary"):
+                    # Arity probe up front (ADIL takes (data_train,
+                    # data_val), ADILR takes (data_train) only) — catching
+                    # TypeError around the call itself would mask a genuine
+                    # TypeError raised mid-training and silently re-run the
+                    # whole training.
+                    import inspect
 
-                n_params = len(
-                    inspect.signature(attack.learn_dictionary).parameters
-                )
-                if n_params >= 2:
-                    attack.learn_dictionary((np.asarray(xk), np.asarray(yk)), None)
-                else:
-                    attack.learn_dictionary((np.asarray(xk), np.asarray(yk)))
+                    n_params = len(
+                        inspect.signature(attack.learn_dictionary).parameters
+                    )
+                    if n_params >= 2:
+                        attack.learn_dictionary(
+                            (np.asarray(xk), np.asarray(yk)), None)
+                    else:
+                        attack.learn_dictionary(
+                            (np.asarray(xk), np.asarray(yk)))
+                elif hasattr(attack, "learn_attack"):
+                    # UAP-family lazy training (uappgd.py:169-172,
+                    # fast_uap.py:103-105) — same rule: train on the REAL
+                    # kept rows so cycled duplicates never enter training.
+                    attack.learn_attack((np.asarray(xk), np.asarray(yk)), None)
             reps = -(-b // k)
             x_in = jnp.concatenate([xk] * reps)[:b]
             y_in = jnp.concatenate([yk] * reps)[:b]

@@ -26,11 +26,13 @@ _BN_EPS = 1e-5
 
 
 def _fold_pair(kernel: np.ndarray, bn_params: Dict, bn_stats: Dict,
-               eps: float) -> Dict[str, np.ndarray]:
+               eps: float, conv_bias=None) -> Dict[str, np.ndarray]:
     kernel = np.asarray(kernel)
     dtype = kernel.dtype  # keep the checkpoint's kernel dtype post-fold
     s = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_stats["var"]) + eps)
-    bias = np.asarray(bn_params["bias"]) - np.asarray(bn_stats["mean"]) * s
+    # y = BN(conv(x)+b) = conv(x)*s + (b - mean)*s + bn_bias
+    pre = np.asarray(conv_bias) if conv_bias is not None else 0.0
+    bias = (pre - np.asarray(bn_stats["mean"])) * s + np.asarray(bn_params["bias"])
     # s broadcasts over the output-channel axis.
     return {"kernel": (kernel * s).astype(dtype), "bias": bias}
 
@@ -49,7 +51,8 @@ def fold_victim_bn(variables: Dict, eps: float = _BN_EPS) -> Dict:
         keys = set(p.keys())
         if keys == {"Conv_0", "BatchNorm_0"}:
             folded = _fold_pair(p["Conv_0"]["kernel"], p["BatchNorm_0"],
-                                s["BatchNorm_0"], eps)
+                                s["BatchNorm_0"], eps,
+                                conv_bias=p["Conv_0"].get("bias"))
             return {"Conv_0": folded}
         if keys == {"kernel", "BatchNorm_0"}:
             return _fold_pair(p["kernel"], p["BatchNorm_0"], s["BatchNorm_0"], eps)

@@ -53,7 +53,11 @@ class MlpBlock(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # torchvision's MLPBlock uses nn.GELU() = exact erf GELU; flax's
+        # default is the tanh approximation, which breaks checkpoint
+        # parity at ~1e-3 in the logits (tests/test_torch_forward_parity_
+        # vit.py). Both are fused elementwise ops on TPU — no step cost.
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(d, dtype=self.dtype)(x)
 
 

@@ -435,6 +435,22 @@ def learn_dictionary_distributed(
 
     epoch_fn = make_dp_epoch_fn(victim.apply_fn, cfg, mesh, axis)
 
+    # Per-epoch val fooling: one device-resident upload and ONE jitted
+    # solver (shared with the class path via adil._solver_cache) — the old
+    # eager core.supervised_adamw_codes call re-traced+recompiled the
+    # heaviest solver in the framework every val epoch and re-uploaded the
+    # val set each time.
+    val_images_dev = val_fn = None
+    if data_val is not None and val_every:
+        from ..attacks.adil import _solver_cache
+
+        val_images_dev = jnp.asarray(data_val.images, jnp.float32)
+        if twin is not None:
+            from ..models.layers import space_to_depth
+
+            val_images_dev = space_to_depth(val_images_dev)
+        val_fn = _solver_cache(victim.apply_fn, cfg)["val"]
+
     loss_all, fooling_all, val_fool = [], [], None
     start_epoch = 0
     ckpt_key = ckpt_key or {
@@ -481,18 +497,11 @@ def learn_dictionary_distributed(
         )
         loss_all.append(float(loss) / n)
         fooling_all.append(float(fooling) / n)
-        if data_val is not None and val_every and (it + 1) % val_every == 0:
-            val_images = jnp.asarray(data_val.images, jnp.float32)
-            if twin is not None:
-                from ..models.layers import space_to_depth
-
-                val_images = space_to_depth(val_images)
+        if val_fn is not None and (it + 1) % val_every == 0:
             val_fool = float(
-                core.supervised_adamw_codes(
-                    victim.apply_fn, victim.variables,
-                    core.d_image(jnp.asarray(d), image_shape),
-                    val_images, cfg, return_fooling=True,
-                )
+                val_fn(victim.variables,
+                       core.d_image(jnp.asarray(d), image_shape),
+                       val_images_dev, cfg.eps, cfg.kappa)
             ) / len(data_val)
         if verbose:
             print(f"[adil dp] epoch {it} loss {loss_all[-1]:.4f} "

@@ -124,9 +124,17 @@ bool decode_transform(const char* path, int size, int resize, float* out) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
   if (!decode_jpeg(path, &rgb, &w, &h)) return false;
-  const double scale = static_cast<double>(resize) / std::min(w, h);
-  const int rw = static_cast<int>(std::lround(w * scale));
-  const int rh = static_cast<int>(std::lround(h * scale));
+  // torchvision computes the long side as int(size * long / short) —
+  // TRUNCATION, not lround (F._compute_resized_output_size); must match
+  // data/imagenet.py::default_transform exactly (decode-parity tests).
+  int rw, rh;
+  if (w <= h) {
+    rw = resize;
+    rh = static_cast<int>(static_cast<double>(resize) * h / w);
+  } else {
+    rh = resize;
+    rw = static_cast<int>(static_cast<double>(resize) * w / h);
+  }
 
   std::vector<float> img(rgb.size());
   for (size_t i = 0; i < rgb.size(); ++i) img[i] = rgb[i] / 255.0f;

@@ -155,3 +155,44 @@ class TestLazyTrainUnderPadding:
         # v has exactly k rows: training saw the 5 kept images once each.
         payload = atk.cache.load("ImageNet", model="lazy")
         assert payload["v"].shape[0] == 5
+
+
+def test_performance_pretrains_uap_on_real_rows(tmp_path):
+    """The lazy-training guard covers learn_attack attacks too: cycled
+    padding duplicates must never enter UAPPGD training (round-3 review
+    finding — the guard previously keyed on learn_dictionary only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dl_attack_on_imagenet_tpu import evaluation as ev
+    from dl_attack_on_imagenet_tpu.attacks import UAPPGD
+    from dl_attack_on_imagenet_tpu.models import create_model
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache
+
+    victim = create_model("tiny", rng=jax.random.PRNGKey(7))
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (8, 32, 32, 3)),
+                   np.float32)
+    # Labels chosen so SOME rows are misclassified -> k < b -> padding.
+    pre = np.asarray(victim.predict(jnp.asarray(x)))
+    y = pre.copy()
+    y[:3] = (pre[:3] + 1) % 10  # force 3 wrong rows
+    atk = UAPPGD(victim, steps=2, batch_size=4, eps=0.1, norm="linf",
+                 step_size=0.05, cache=ArtifactCache(str(tmp_path)),
+                 model_name="uapguard")
+    assert atk.is_trained is False
+    seen = {}
+    orig = atk.learn_attack
+
+    def spy(data_train, data_val=None):
+        images = np.asarray(data_train[0])
+        seen["n"] = len(images)
+        seen["unique"] = len(np.unique(images.reshape(len(images), -1), axis=0))
+        return orig(data_train, data_val)
+
+    atk.learn_attack = spy
+    out = ev.performance(atk, victim, [(x, y)])
+    assert atk.is_trained
+    # trained on exactly the kept (correctly classified) rows, no cycled
+    # duplicates
+    assert seen["n"] == 5
+    assert seen["unique"] == 5
