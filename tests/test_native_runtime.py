@@ -47,6 +47,32 @@ class TestDecodeBatch:
             assert np.mean(np.abs(out[i] - want)) < 0.03
             assert 0.0 <= out[i].min() and out[i].max() <= 1.0
 
+    def test_truncation_sensitive_aspect_ratio_parity(self, tmp_path):
+        """Pin torchvision's TRUNCATED long side (int(resize*long/short)).
+
+        67:48 at resize=40 gives 55.83 — truncation says 55, rounding says
+        56, and the 1px crop shift a rounding resampler would introduce
+        decorrelates noise pixels (mean |diff| ~0.3), so the loose 0.03
+        parity bound fails loudly if either the PIL or the native path
+        regresses to round(). Reference semantics: torchvision
+        F._compute_resized_output_size via DS_ImageNet.py:14-18."""
+        from PIL import Image
+
+        from dl_attack_on_imagenet_tpu.data.imagenet import default_transform
+
+        rng = np.random.default_rng(7)
+        paths = []
+        for name, shape in (("wide", (48, 67, 3)), ("tall", (67, 48, 3))):
+            arr = (rng.random(shape) * 255).astype(np.uint8)
+            p = tmp_path / f"{name}.JPEG"
+            Image.fromarray(arr).save(p, quality=95)
+            paths.append(str(p))
+        out = runtime.decode_batch(paths, size=32, resize=40)
+        for i, p in enumerate(paths):
+            with open(p, "rb") as f:
+                want = default_transform(Image.open(f), size=32, resize=40)
+            assert np.mean(np.abs(out[i] - want)) < 0.03
+
     def test_missing_file_errors(self, tmp_path):
         with pytest.raises(IOError):
             runtime.decode_batch([str(tmp_path / "nope.JPEG")], size=32)
