@@ -186,3 +186,28 @@ class TestADILClass:
         atk = ADIL(victim, steps=2, n_atoms=5, batch_size=8, data_train=dataset,
                    data_val=val, cache=cache, model_name="withval")
         assert atk.history["val_fooling"] is not None
+
+    def test_val_fooling_ragged_tail_pads_and_scales(self, victim, dataset,
+                                                     tmp_path):
+        """The ragged val tail is padded by cycling rows to keep ONE
+        compiled val-solver shape, and its count is scaled back to the real
+        row count: with a stub solver calling every row fooled, the rate
+        must be exactly 1.0 (a missing k/b scale would report 1.6 for
+        10 rows at batch 8)."""
+        import jax.numpy as jnp
+
+        atk = ADIL(victim, steps=2, n_atoms=5, batch_size=8,
+                   cache=ArtifactCache(str(tmp_path)), model_name="ragged")
+        val = ArrayDataset(dataset.images[:10], dataset.labels[:10])
+        d = jnp.zeros((5, 32, 32, 3))
+        seen = []
+
+        def stub(variables, d_in, x):  # all rows fooled
+            seen.append(int(x.shape[0]))
+            return float(x.shape[0])
+
+        atk._val_fn = stub
+        assert atk._val_fooling(d, val) == 1.0
+        assert seen == [8, 8]  # tail of 2 padded to the compiled shape
+        atk._val_fn = lambda variables, d_in, x: 0.0  # none fooled
+        assert atk._val_fooling(d, val) == 0.0
