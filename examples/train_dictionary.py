@@ -9,6 +9,12 @@ ILSVRC tree).
 """
 
 import argparse
+import os
+import sys
+
+# Runnable as `python examples/train_dictionary.py` from a source checkout
+# (no install needed): the script dir is on sys.path, the repo root isn't.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -55,15 +61,23 @@ def main():
         verbose=True,
         metrics_log="trained_dicts/train_metrics.jsonl",
     )
-    print("training throughput:", attack.timing)
+    if attack.timing:
+        print("training throughput:", attack.timing)
+    else:
+        print("dictionary loaded from cache (trained_dicts/) — delete it to retrain")
 
     x_test = jnp.asarray(test.images[:8], jnp.float32)
     adv = attack(x_test)
     clean = victim.predict(x_test)
     fooled = float(jnp.mean((victim.predict(adv) != clean).astype(jnp.float32)))
+    # NOTE: the default inference mode is the reference's DDrague solver,
+    # which eps-clamps its latent z but returns dv = D D†z — the projection
+    # onto span(D), which is not l∞-contractive, so max|dv| can exceed eps
+    # (faithful reference property, adil.py:560-567; use
+    # attack.forward_supervised_adamw(x) for a hard l1-code budget).
     print(f"held-out fooling rate: {fooled:.3f}; "
           f"max perturbation {float(jnp.max(jnp.abs(adv - jnp.clip(x_test, 0, 1)))):.4f} "
-          f"(eps {args.eps:.4f})")
+          f"(eps budget on z: {args.eps:.4f})")
 
 
 if __name__ == "__main__":

@@ -7,6 +7,13 @@ fooling/RMSE/MSE on every model in a zoo.
   python examples/transfer_matrix.py
 """
 
+import os
+import sys
+
+# Runnable as `python examples/transfer_matrix.py` from a source checkout
+# (no install needed): the script dir is on sys.path, the repo root isn't.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 
