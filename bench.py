@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -123,5 +124,47 @@ def main():
     )
 
 
+# The axon tunnel to the chip drops transiently (measured: mid-epoch wedges
+# in the config-4 rehearsal, "TPU backend setup/compile error (Unavailable)"
+# bursts lasting minutes — BENCHMARKS.md). A backend-init failure poisons the
+# whole process, so retries must re-exec a fresh interpreter. Bounded: the
+# driver still sees a nonzero exit if the tunnel stays down.
+_RETRY_ENV = "BENCH_RETRY_ATTEMPT"
+_MAX_ATTEMPTS = 4
+_RETRY_SLEEP_S = float(os.environ.get("BENCH_RETRY_SLEEP_S", "90"))
+
+
+def _is_transient(err: BaseException) -> bool:
+    text = str(err)
+    return (
+        "Unable to initialize backend" in text
+        or "UNAVAILABLE" in text
+        or "DEADLINE_EXCEEDED" in text
+    )
+
+
+def _retry_or_raise(err: BaseException) -> None:
+    """Re-exec a fresh interpreter for transient faults within budget.
+
+    Retry messages go to stderr; stdout stays reserved for the one JSON
+    line the driver parses. Non-transient or budget-exhausted errors
+    re-raise so the driver records the failure.
+    """
+    attempt = int(os.environ.get(_RETRY_ENV, "1"))
+    if not _is_transient(err) or attempt >= _MAX_ATTEMPTS:
+        raise err
+    print(
+        f"bench: transient TPU/tunnel failure (attempt {attempt}/"
+        f"{_MAX_ATTEMPTS}), re-exec in {_RETRY_SLEEP_S:.0f}s: {err}",
+        file=sys.stderr,
+    )
+    time.sleep(_RETRY_SLEEP_S)
+    os.environ[_RETRY_ENV] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as err:  # noqa: BLE001 — classify, then retry or re-raise
+        _retry_or_raise(err)

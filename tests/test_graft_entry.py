@@ -51,3 +51,61 @@ def test_dryrun_subprocess_env_is_forced():
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "SUBOK" in proc.stdout
     assert "dryrun_multichip(4): ok" in proc.stdout
+
+
+def test_bench_retry_classification():
+    # bench.py re-execs itself (fresh interpreter — a failed backend init
+    # poisons the process) only for transient tunnel faults, and only up to
+    # its bounded attempt budget; everything else must surface to the driver.
+    # Subprocess import: bench.py sets the process-wide TPU compilation-cache
+    # config at import time, which this suite's CPU process must not inherit.
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["BENCH_RETRY_SLEEP_S"] = "0"
+    code = (
+        "import os, sys, bench\n"
+        "tr = RuntimeError(\n"
+        "    \"Unable to initialize backend 'axon': UNAVAILABLE: \"\n"
+        "    'TPU backend setup/compile error (Unavailable).')\n"
+        "assert bench._is_transient(tr)\n"
+        "assert bench._is_transient(RuntimeError('DEADLINE_EXCEEDED: rpc'))\n"
+        "assert not bench._is_transient(ValueError('bad shape (64, 100)'))\n"
+        "assert not bench._is_transient(MemoryError('oom'))\n"
+        "assert bench._MAX_ATTEMPTS >= 2\n"
+        "# Budget exhausted: transient faults re-raise instead of re-exec.\n"
+        "os.environ[bench._RETRY_ENV] = str(bench._MAX_ATTEMPTS)\n"
+        "try:\n"
+        "    bench._retry_or_raise(tr)\n"
+        "except RuntimeError as e:\n"
+        "    assert e is tr\n"
+        "else:\n"
+        "    raise AssertionError('expected re-raise at budget')\n"
+        "# Non-transient: re-raises even with budget left.\n"
+        "os.environ[bench._RETRY_ENV] = '1'\n"
+        "bad = ValueError('bug')\n"
+        "try:\n"
+        "    bench._retry_or_raise(bad)\n"
+        "except ValueError as e:\n"
+        "    assert e is bad\n"
+        "else:\n"
+        "    raise AssertionError('expected re-raise for non-transient')\n"
+        "# Within budget + transient: bumps the counter and re-execs bench.py.\n"
+        "calls = []\n"
+        "bench.os.execv = lambda exe, argv: calls.append((exe, argv))\n"
+        "bench._retry_or_raise(tr)\n"
+        "assert calls and calls[0][0] == sys.executable\n"
+        "assert calls[0][1][1].endswith('bench.py')\n"
+        "assert os.environ[bench._RETRY_ENV] == '2'\n"
+        "print('BENCHRETRYOK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "BENCHRETRYOK" in proc.stdout
