@@ -47,3 +47,25 @@ def cpu_cache_dir(repo_root: str, prune: bool = True) -> str:
         except OSError:
             pass
     return os.path.join(repo_root, name)
+
+
+def compilation_cache_dir(repo_root: str) -> str:
+    """Cache dir for the EFFECTIVE platform: '.jax_cache' (TPU) or salted CPU.
+
+    Decides by ``jax.config jax_platforms`` falling back to the env var,
+    not the env alone: under the test suite, conftest forces the config to
+    "cpu" while a bare launch's env may still say "axon" — keying on the
+    env alone repointed XLA:CPU entries into the TPU dir (unsalted, mixed
+    with TPU AOT artifacts). Callers must configure the platform before
+    calling (all repo entry points set JAX_PLATFORMS/config up front).
+    """
+    import jax  # deferred: callers may set platform config before first use
+
+    platforms = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS", "")
+        or ""
+    )
+    if "cpu" in platforms:
+        return cpu_cache_dir(repo_root)
+    return os.path.join(repo_root, ".jax_cache")

@@ -26,12 +26,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+from _cpu_cache import compilation_cache_dir
+
 # Persistent compilation cache: first-compiles through the remote-compile
 # tunnel cost minutes; cached runs start in seconds (measured 71s -> 1.9s).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+# Platform-dispatched dir: '.jax_cache' on the chip, the host-salted CPU
+# dir when run with JAX_PLATFORMS=cpu (CPU AOT entries are keyed to the
+# compiling host's CPU features and this VM migrates hosts).
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir(_REPO))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 BASELINE_ITERS_PER_SEC = 6.5
@@ -135,11 +139,13 @@ _RETRY_SLEEP_S = float(os.environ.get("BENCH_RETRY_SLEEP_S", "90"))
 
 
 def _is_transient(err: BaseException) -> bool:
-    text = str(err)
+    # Case-insensitive: the tunnel reports both 'UNAVAILABLE:' (status code)
+    # and '(Unavailable)' (prose) forms of the same outage.
+    text = str(err).lower()
     return (
-        "Unable to initialize backend" in text
-        or "UNAVAILABLE" in text
-        or "DEADLINE_EXCEEDED" in text
+        "unable to initialize backend" in text
+        or "unavailable" in text
+        or "deadline_exceeded" in text
     )
 
 

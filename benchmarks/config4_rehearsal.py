@@ -40,9 +40,13 @@ import numpy as np
 
 import jax
 
+from _cpu_cache import compilation_cache_dir
+
+# Platform-dispatched cache dir: '.jax_cache' on the chip, the host-salted
+# CPU dir under JAX_PLATFORMS=cpu (see _cpu_cache.compilation_cache_dir).
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    compilation_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 

@@ -36,6 +36,20 @@ def read_synset_mapping(path: str) -> Dict[str, str]:
     return mapping
 
 
+def resized_dims(w: int, h: int, resize: int) -> tuple:
+    """(new_w, new_h) of torchvision Resize(shorter side -> ``resize``).
+
+    The long side is int(resize * long / short) — TRUNCATION, not round()
+    (torchvision F._compute_resized_output_size); round() shifts the center
+    crop by one pixel for ~half of aspect ratios. Single source for the
+    Python decode path; native/host_loader.cpp mirrors it and
+    tests/test_native_runtime.py pins the two against each other.
+    """
+    if w <= h:
+        return resize, int(resize * h / w)
+    return int(resize * w / h), resize
+
+
 def default_transform(img, size: int = 224, resize: int = 256) -> np.ndarray:
     """Resize(shorter side -> ``resize``) + center crop + [0,1] float NHWC.
 
@@ -45,14 +59,7 @@ def default_transform(img, size: int = 224, resize: int = 256) -> np.ndarray:
     from PIL import Image
 
     w, h = img.size
-    # torchvision computes the long side as int(size * long / short) —
-    # TRUNCATION, not round() (F._compute_resized_output_size); round()
-    # shifts the center crop by one pixel for ~half of aspect ratios.
-    if w <= h:
-        new_w, new_h = resize, int(resize * h / w)
-    else:
-        new_w, new_h = int(resize * w / h), resize
-    img = img.resize((new_w, new_h), Image.BILINEAR)
+    img = img.resize(resized_dims(w, h, resize), Image.BILINEAR)
     w, h = img.size
     left = (w - size) // 2
     top = (h - size) // 2

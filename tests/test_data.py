@@ -163,3 +163,24 @@ def test_mesh_training_accepts_folder_dataset(fake_ilsvrc, devices, tmp_path):
     atk.learn_dictionary(folder)
     payload = atk.cache.load("ImageNet", model=atk.model_name)
     assert payload["d"].shape == (3, 32, 32, 3)
+
+
+def test_resized_dims_truncation_absolute():
+    """Absolute pin of torchvision's TRUNCATED long side.
+
+    The PIL-vs-native parity test (test_native_runtime.py) only proves the
+    two decode paths agree — a symmetric regression of both to round()
+    would still pass it. This pins the single-source formula
+    (data/imagenet.py::resized_dims) to torchvision
+    F._compute_resized_output_size semantics (DS_ImageNet.py:14-18).
+    """
+    from dl_attack_on_imagenet_tpu.data.imagenet import resized_dims
+
+    # 67:48 at resize=40 -> 55.83: truncation says 55, rounding says 56.
+    assert resized_dims(67, 48, 40) == (55, 40)
+    assert resized_dims(48, 67, 40) == (40, 55)
+    # The reference operating point: a 500x375 val JPEG at Resize(256)
+    # -> 341.33, truncated to 341.
+    assert resized_dims(500, 375, 256) == (341, 256)
+    assert resized_dims(375, 500, 256) == (256, 341)
+    assert resized_dims(100, 100, 256) == (256, 256)

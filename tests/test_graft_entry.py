@@ -70,6 +70,9 @@ def test_bench_retry_classification():
         "    'TPU backend setup/compile error (Unavailable).')\n"
         "assert bench._is_transient(tr)\n"
         "assert bench._is_transient(RuntimeError('DEADLINE_EXCEEDED: rpc'))\n"
+        "# Mixed-case prose form (no status-code prefix) must also match.\n"
+        "assert bench._is_transient(RuntimeError(\n"
+        "    'TPU backend setup/compile error (Unavailable).'))\n"
         "assert not bench._is_transient(ValueError('bad shape (64, 100)'))\n"
         "assert not bench._is_transient(MemoryError('oom'))\n"
         "assert bench._MAX_ATTEMPTS >= 2\n"

@@ -54,8 +54,11 @@ class TestDecodeBatch:
         56, and the 1px crop shift a rounding resampler would introduce
         decorrelates noise pixels (mean |diff| ~0.3), so the loose 0.03
         parity bound fails loudly if either the PIL or the native path
-        regresses to round(). Reference semantics: torchvision
-        F._compute_resized_output_size via DS_ImageNet.py:14-18."""
+        regresses to round(). A SYMMETRIC regression of both paths is
+        caught by test_data.py::test_resized_dims_truncation_absolute,
+        which pins the single-source formula absolutely. Reference
+        semantics: torchvision F._compute_resized_output_size via
+        DS_ImageNet.py:14-18."""
         from PIL import Image
 
         from dl_attack_on_imagenet_tpu.data.imagenet import default_transform
