@@ -11,7 +11,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import global_avg_pool, max_pool
+from .layers import global_avg_pool, max_pool, relu
 from .resnet import S2DStem
 
 
@@ -23,10 +23,10 @@ class DenseLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
-        y = nn.relu(y)
+        y = relu(y)
         y = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(y)
-        y = nn.relu(y)
+        y = relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
         return jnp.concatenate([x, y], axis=-1)
 
@@ -38,7 +38,7 @@ class Transition(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -64,18 +64,18 @@ class DenseNet(nn.Module):
             x = S2DStem(self.num_init_features, dtype=self.dtype,
                         relu=False, blocked_input=True)(x)
             x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
-            x = nn.relu(x)
+            x = relu(x)
         elif self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = S2DStem(self.num_init_features, dtype=self.dtype,
                         relu=False)(x)
             x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
-            x = nn.relu(x)
+            x = relu(x)
         else:
             x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)),  # torch conv0 pad=3
                         use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
-            x = nn.relu(x)
+            x = relu(x)
             # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
             x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
@@ -89,7 +89,7 @@ class DenseNet(nn.Module):
                 x = Transition(features, dtype=self.dtype)(x)
 
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 

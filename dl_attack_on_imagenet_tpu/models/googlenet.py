@@ -23,7 +23,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN, global_avg_pool, max_pool, torch_transform_input
+from .layers import ConvBN, global_avg_pool, max_pool, torch_transform_input, relu
 from .resnet import S2DStem
 
 _BN_EPS = 1e-3  # torchvision BasicConv2d: BatchNorm2d(out_channels, eps=0.001)
@@ -82,12 +82,12 @@ class GoogLeNet(nn.Module):
             x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
                         relu=False, bn_eps=_BN_EPS, blocked_input=True)(x)
             x = max_pool(x, (3, 3), (2, 2))
-            x = nn.relu(x)
+            x = relu(x)
         elif self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = S2DStem(64, dtype=self.dtype, fold_bn=self.fold_bn,
                         relu=False, bn_eps=_BN_EPS)(x)
             x = max_pool(x, (3, 3), (2, 2))
-            x = nn.relu(x)
+            x = relu(x)
         else:
             x = cbn(64, (7, 7), (2, 2))(x)
             x = max_pool(x, (3, 3), (2, 2))

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN, global_avg_pool, max_pool
+from .layers import ConvBN, global_avg_pool, max_pool, relu
 
 
 class S2DStem(nn.Module):
@@ -84,7 +84,7 @@ class S2DStem(nn.Module):
         else:
             y = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps,
                              dtype=self.dtype)(y)
-        return nn.relu(y) if self.relu else y
+        return relu(y) if self.relu else y
 
 
 class BasicBlock(nn.Module):
@@ -105,7 +105,7 @@ class BasicBlock(nn.Module):
                 self.features, (1, 1), self.strides, relu=False,
                 dtype=self.dtype, fold_bn=self.fold_bn
             )(x)
-        return nn.relu(y + residual)
+        return relu(y + residual)
 
 
 class Bottleneck(nn.Module):
@@ -128,7 +128,7 @@ class Bottleneck(nn.Module):
                 self.features * 4, (1, 1), self.strides, relu=False,
                 dtype=self.dtype, fold_bn=self.fold_bn
             )(x)
-        return nn.relu(y + residual)
+        return relu(y + residual)
 
 
 class ResNet(nn.Module):
@@ -162,7 +162,7 @@ class ResNet(nn.Module):
                        fold_bn=self.fold_bn, relu=False)(x)
         # torch MaxPool2d(3, 2, padding=1): symmetric, not XLA "SAME".
         x = max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
-        x = nn.relu(x)
+        x = relu(x)
         for i, size in enumerate(self.stage_sizes):
             for j in range(size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)

@@ -12,6 +12,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import relu
+
 
 class TinyCNN(nn.Module):
     num_classes: int = 10
@@ -21,9 +23,9 @@ class TinyCNN(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.Conv(self.features * 2, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 

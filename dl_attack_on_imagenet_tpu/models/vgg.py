@@ -11,7 +11,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import max_pool
+from .layers import max_pool, relu
 
 CFGS = {
     "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -34,7 +34,7 @@ class VGG(nn.Module):
                 x = max_pool(x, (2, 2), (2, 2), padding="VALID")
             else:
                 x = nn.Conv(item, (3, 3), padding="SAME", dtype=self.dtype)(x)
-                x = nn.relu(x)
+                x = relu(x)
         # torchvision applies adaptive avg-pool to 7x7 before the classifier;
         # at 224 input the spatial dims are already 7x7.
         if x.shape[1] != 7 or x.shape[2] != 7:
@@ -48,8 +48,8 @@ class VGG(nn.Module):
         # flatten would silently permute the 25088 input features —
         # caught by tests/test_torch_forward_parity.py).
         x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
