@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -155,6 +156,10 @@ def main():
     attack.learn_dictionary(folder, None)
     dt_total = time.perf_counter() - t0
     steady = attack.timing.get("mean_s")
+    # StepTimer(warmup=1) yields NaN mean_s on single-epoch runs; NaN is
+    # truthy, so normalize to None for the guards below.
+    if steady is not None and math.isnan(steady):
+        steady = None
     out["native_total_s"] = round(dt_total, 2)
     out["native_epoch_steady_s"] = round(steady, 2) if steady else None
     if steady:
@@ -185,6 +190,8 @@ def main():
         attack_s.learn_dictionary(ds, None)
         dt_s = time.perf_counter() - t0
         steady_s = attack_s.timing.get("mean_s")
+        if steady_s is not None and math.isnan(steady_s):
+            steady_s = None
         out["streamed_total_s"] = round(dt_s, 2)
         out["streamed_epoch_steady_s"] = round(steady_s, 2) if steady_s else None
         if steady_s:

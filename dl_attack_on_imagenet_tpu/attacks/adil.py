@@ -73,6 +73,38 @@ def _device_memory_budget() -> int:
     return 64 << 30  # CPU / virtual mesh: effectively unconstrained
 
 
+class _WindowedSums:
+    """Bounded-window async readback of per-step (loss, fooling) scalars.
+
+    An eager ``float(loss)`` after every step forces a host round-trip
+    between consecutive steps, fully serializing transfer -> compute ->
+    readback. Deferring each step's scalars by ``window`` steps keeps the
+    device queue and the H2D lookahead busy while still bounding the
+    in-flight batch buffers (~window x batch bytes of HBM). The sums are
+    identical floats accumulated in identical order.
+    """
+
+    def __init__(self, window: int = 8):
+        self.window = window
+        self._pend: list = []
+        self.loss = 0.0
+        self.fool = 0.0
+
+    def push(self, loss, fooling) -> None:
+        self._pend.append((loss, fooling))
+        if len(self._pend) > self.window:
+            l0, f0 = self._pend.pop(0)
+            self.loss += float(l0)
+            self.fool += float(f0)
+
+    def flush(self) -> tuple:
+        for l0, f0 in self._pend:
+            self.loss += float(l0)
+            self.fool += float(f0)
+        self._pend = []
+        return self.loss, self.fool
+
+
 class ADIL(Attack):
     """Adversarial Dictionary Learning (ADiL).
 
@@ -238,6 +270,9 @@ class ADIL(Attack):
                 resume=self.resume,
                 blocked=self.blocked,
             )
+            # Mirror the DP run's layout into the introspection flag (every
+            # other training path sets it; see the _learn_gd reset note).
+            self.trained_blocked = bool(history.get("blocked", False))
             self._save(d, v, history)
             return
         if self.method == "alter":
@@ -635,16 +670,7 @@ class ADIL(Attack):
                         np.asarray(idx, np.int32), mask,
                     )
 
-            loss_sum, fool_sum = 0.0, 0.0
-            # Bounded-window async readback: the old per-step float(loss)
-            # forced a host round-trip between consecutive steps, fully
-            # serializing transfer -> compute -> readback. Deferring each
-            # step's scalars by `window` steps keeps the device queue and
-            # the H2D lookahead busy while still bounding the in-flight
-            # batch buffers (~window x batch bytes of HBM). The sums are
-            # identical floats in identical order.
-            window = 8
-            pend: "list" = []
+            sums = _WindowedSums()
             with timer.step(), annotate("adil/epoch_streamed"):
                 for x, lab, idx, mask in prefetch_to_device(
                     host_batches(self.seed + it), size=2
@@ -652,14 +678,8 @@ class ADIL(Attack):
                     state, loss, fooling = step_fn(
                         state, self.victim.variables, x, lab, idx, mask
                     )
-                    pend.append((loss, fooling))
-                    if len(pend) > window:
-                        l0, f0 = pend.pop(0)
-                        loss_sum += float(l0)
-                        fool_sum += float(f0)
-                for l0, f0 in pend:
-                    loss_sum += float(l0)
-                    fool_sum += float(f0)
+                    sums.push(loss, fooling)
+                loss_sum, fool_sum = sums.flush()
             state = state.replace(epoch=state.epoch + 1)
             loss_all.append(loss_sum / n)
             fooling_all.append(fool_sum / n)
@@ -753,25 +773,17 @@ class ADIL(Attack):
                     idx = np.maximum(idxs, 0).astype(np.int32)
                     yield x, np.maximum(labs, 0), idx, mask
 
-            loss_sum, fool_sum = 0.0, 0.0
-            # Same bounded-window async readback as the streamed path (see
-            # _learn_gd_streamed): keeps the decode thread + H2D lookahead
-            # fed instead of stalling them on a per-step readback.
-            window = 8
-            pend: "list" = []
+            # Same bounded-window async readback as the streamed path: keeps
+            # the decode thread + H2D lookahead fed instead of stalling them
+            # on a per-step readback.
+            sums = _WindowedSums()
             with timer.step(), annotate("adil/epoch_native"):
                 for x, lab, idx, mask in prefetch_to_device(host_batches(), size=2):
                     state, loss, fooling = step_fn(
                         state, self.victim.variables, x, lab, idx, mask
                     )
-                    pend.append((loss, fooling))
-                    if len(pend) > window:
-                        l0, f0 = pend.pop(0)
-                        loss_sum += float(l0)
-                        fool_sum += float(f0)
-                for l0, f0 in pend:
-                    loss_sum += float(l0)
-                    fool_sum += float(f0)
+                    sums.push(loss, fooling)
+                loss_sum, fool_sum = sums.flush()
             loader.close()
             state = state.replace(epoch=state.epoch + 1)
             loss_all.append(loss_sum / n)

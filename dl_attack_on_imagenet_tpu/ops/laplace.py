@@ -67,6 +67,13 @@ def laplace_fit_conditioned(
     """
     v = np.asarray(v, dtype=np.float64)
     groups = np.asarray(groups)
+    # Rows whose group id falls outside [0, num_groups) contribute to no
+    # group — matching the direct per-group loop (``groups == g`` never
+    # selects them), e.g. dataset labels beyond a reduced-class victim.
+    in_range = (groups >= 0) & (groups < num_groups)
+    if not in_range.all():
+        v = v[in_range]
+        groups = groups[in_range]
     n, k = v.shape
     loc = np.zeros((num_groups, k), dtype=np.float32)
     scale = np.full((num_groups, k), min_scale, dtype=np.float32)

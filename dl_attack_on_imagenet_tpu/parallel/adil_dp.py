@@ -522,7 +522,14 @@ def learn_dictionary_distributed(
             cache.remove_sharded("ImageNet", **ckpt_key)
         else:
             cache.remove("ImageNet", **ckpt_key)
-    history = {"loss": loss_all, "fooling_rate": fooling_all, "val_fooling": val_fool}
+    history = {
+        "loss": loss_all,
+        "fooling_rate": fooling_all,
+        "val_fooling": val_fool,
+        # Whether this run trained in the blocked (s2d) layout — callers
+        # (ADIL.learn_dictionary) mirror it into their introspection flag.
+        "blocked": twin is not None,
+    }
     # Replicate the row-sharded v before fetching: on a multi-host mesh the
     # sharded global array is not fully addressable from one controller
     # (the all_gather analog of DDP's final state broadcast).

@@ -161,6 +161,9 @@ def test_dp_blocked_matches_standard(victim, dataset):
         victim, dataset, cfg, mesh, d_init=jnp.asarray(d_init), blocked="auto",
     )
     assert d_b.shape == (4, 32, 32, 3)  # presentation restored
+    # The history records which layout actually trained (mirrored into
+    # ADIL.trained_blocked by the class mesh branch).
+    assert hist_a["blocked"] is False and hist_b["blocked"] is True
     np.testing.assert_allclose(hist_a["loss"], hist_b["loss"], rtol=2e-3)
     frac_off = np.mean(np.abs(np.asarray(d_a) - np.asarray(d_b)) > 1e-3)
     assert frac_off < 0.05, f"{frac_off:.4f} of D differs by >1e-3"
@@ -192,6 +195,21 @@ def test_blocked_pipeline_beyond_resnet(name, dataset, tmp_path):
     np.testing.assert_allclose(pay_b["loss"], pay_s["loss"], rtol=2e-4,
                                atol=2e-5)
     np.testing.assert_allclose(pay_b["d"], pay_s["d"], atol=2e-4)
+
+
+def test_mesh_class_path_sets_trained_blocked(victim, dataset, tmp_path):
+    """ADIL.learn_dictionary on a mesh mirrors the DP run's layout into
+    trained_blocked (round-3 review finding: the mesh branch left the flag
+    stale/False for blocked DP runs)."""
+    from dl_attack_on_imagenet_tpu.parallel import data_mesh
+
+    mesh = data_mesh(4)
+    atk, _ = _train(victim, dataset, tmp_path, "mesh_blk", mesh=mesh,
+                    blocked="auto")
+    assert atk.trained_blocked is True
+    atk_s, _ = _train(victim, dataset, tmp_path, "mesh_std", mesh=mesh,
+                      blocked=False)
+    assert atk_s.trained_blocked is False
 
 
 def test_dp_blocked_beyond_resnet(dataset):

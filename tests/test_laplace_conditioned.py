@@ -54,6 +54,21 @@ def test_even_odd_medians_and_min_scale():
     _check(v, groups, 2)
 
 
+def test_out_of_range_groups_ignored():
+    """Group ids outside [0, num_groups) are silently ignored, matching the
+    per-group loop (``groups == g`` never selects them) — e.g. dataset
+    labels beyond a reduced-class victim's ``num_classes``."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((30, 4)).astype(np.float32)
+    groups = rng.integers(0, 10, size=30)
+    groups[5] = 15   # above num_groups
+    groups[11] = -1  # negative
+    _check(v, groups, 10)
+    # And all-out-of-range degenerates to the empty fit.
+    loc, scale = laplace_fit_conditioned(v, np.full(30, 99), 10)
+    assert np.all(loc == 0) and np.all(scale == 1e-3)
+
+
 def test_config4_shape_runs_fast():
     """1000 classes at a config-4-like row count completes in one pass."""
     import time
