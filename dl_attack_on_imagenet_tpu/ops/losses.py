@@ -18,20 +18,26 @@ def cw_margin_loss(
 ) -> jax.Array:
     """Carlini-Wagner margin loss, per-sample.
 
-    Untargeted: clamp(logit[label] - max_{c != label} logit[c], min=-kappa) —
-    minimizing drives the true-class logit below the runner-up.
-    Targeted (labels = target class): clamp(max_{c != t} logit[c] - logit[t],
-    min=-kappa).
+    Untargeted: clamp(logit[label] - runner_up, min=-kappa) — minimizing
+    drives the true-class logit below the runner-up. Targeted (labels =
+    target class): clamp(runner_up - logit[t], min=-kappa).
 
-    Reference: adil.py:103-112 (``f_loss``). The reference materializes a
-    CPU-side eye matrix per call; here the one-hot mask is traced in-graph.
+    Reference: adil.py:103-112 (``f_loss``). Faithful detail: the reference
+    computes the runner-up as ``max((1 - one_hot) * outputs)`` (adil.py:106),
+    which leaves a literal 0 in the true-class slot — so the runner-up is
+    FLOORED AT ZERO whenever every non-true logit is negative (and in that
+    regime carries no gradient to any logit). We replicate that exactly;
+    masking the true class to -inf instead changes both loss values and
+    gradients in the all-negative-logits regime. The reference also
+    materializes a CPU-side eye matrix per call; here the one-hot mask is
+    traced in-graph.
     """
     num_classes = logits.shape[-1]
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
     true_logit = jnp.sum(logits * one_hot, axis=-1)
-    # Largest non-true logit: mask the true class to -inf.
-    masked = jnp.where(one_hot > 0, -jnp.inf, logits)
-    runner_up = jnp.max(masked, axis=-1)
+    # max over (1 - one_hot) * logits: true-class slot contributes 0
+    # (reference adil.py:106 semantics — see docstring).
+    runner_up = jnp.max((1.0 - one_hot) * logits, axis=-1)
     if targeted:
         margin = runner_up - true_logit
     else:

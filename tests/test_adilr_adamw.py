@@ -67,9 +67,11 @@ def _torch_run(tm, x, d0, v0, epochs, loss_mode, kappa=5.0, coeff=-1.0):
         if loss_mode == "ce":
             smooth = coeff * F.cross_entropy(logits, labels, reduction="sum")
         else:
-            one_hot = F.one_hot(labels, logits.shape[-1]).bool()
-            true_logit = logits[one_hot]
-            other = logits.masked_fill(one_hot, -float("inf")).max(-1).values
+            # Reference f_loss (adil_regularized.py:711-720): the runner-up
+            # is max((1-one_hot)*logits) — zero-floored by the true-class slot.
+            one_hot = F.one_hot(labels, logits.shape[-1]).to(logits.dtype)
+            true_logit = (one_hot * logits).sum(-1)
+            other = ((1 - one_hot) * logits).max(-1).values
             smooth = torch.clamp(true_logit - other, min=-kappa).sum()
         loss = smooth + 0.5 * LAM2 * (dv**2).sum()
         loss.backward()

@@ -75,6 +75,21 @@ class TestLosses:
         out = cw_margin_loss(logits, jnp.array([1]), kappa=50.0, targeted=True)
         np.testing.assert_allclose(np.asarray(out), [3.0])
 
+    def test_cw_margin_zero_floor_reference_quirk(self):
+        # Reference f_loss computes the runner-up as max((1-one_hot)*logits)
+        # (adil.py:106): the zeroed true-class slot floors it at 0 when all
+        # non-true logits are negative, and in that regime the runner-up term
+        # carries NO gradient to any logit.
+        logits = jnp.array([[4.0, -2.0, -3.0]])
+        labels = jnp.array([0])
+        out = cw_margin_loss(logits, labels, kappa=50.0, targeted=False)
+        np.testing.assert_allclose(np.asarray(out), [4.0])  # 4 - 0, not 4-(-2)
+
+        g = jax.grad(
+            lambda lg: jnp.sum(cw_margin_loss(lg, labels, kappa=50.0))
+        )(logits)
+        np.testing.assert_allclose(np.asarray(g), [[1.0, 0.0, 0.0]], atol=1e-6)
+
     def test_cross_entropy_golden(self):
         logits = jnp.array([[2.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
         labels = jnp.array([0, 2])

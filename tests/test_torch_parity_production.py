@@ -42,10 +42,13 @@ STEPS = 3
 
 def torch_cw_loss(logits, labels, kappa):
     """CW margin loss, reference f_loss semantics (adil.py:103-112):
-    sum of clamp(real - other, min=-kappa)."""
+    sum of clamp(real - other, min=-kappa). The runner-up is
+    max((1 - one_hot) * logits) EXACTLY as the reference writes it — the
+    zeroed true-class slot floors the runner-up at 0 when every non-true
+    logit is negative (adil.py:106)."""
     one_hot = F.one_hot(labels, logits.shape[-1]).to(logits.dtype)
     real = (one_hot * logits).sum(-1)
-    other = ((1 - one_hot) * logits - one_hot * 1e4).max(-1).values
+    other = ((1 - one_hot) * logits).max(-1).values
     return torch.clamp(real - other, min=-kappa).sum()
 
 
