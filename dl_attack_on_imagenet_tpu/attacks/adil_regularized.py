@@ -152,7 +152,9 @@ def adil_fb(
     Returns (d, v, loss_track). Line-search constants delta=.5, gamma=1,
     beta=.5 (adil_regularized.py:60-63); Lipschitz estimated from gradient
     differences (:127-130); sufficient-decrease loop capped at 50 halvings
-    (:190-192), after which the iterate is frozen (flag_stop).
+    (:190-192). On exhaustion the returned iterate is the FULL prox step
+    (the reference assigns v/d before the search and never rolls back on
+    flag_stop, :143-146) and further iterations stop.
     """
     niter = int(niter if niter is not None else cfg.steps)
     n = images.shape[0]
@@ -208,8 +210,11 @@ def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
 
         def outer_body(carry):
             (it, _, params, params_old, grads_old, loss_ns_old, lip, track) = carry
-            grads = grad_smooth(params)
-            loss_old = full(params)
+            # One forward serves both the gradient and loss_old — the
+            # reference reads loss_old off the same graph it backprops
+            # (adil_regularized.py:115, :138).
+            smooth_val, grads = jax.value_and_grad(smooth)(params)
+            loss_old = smooth_val + l1(params["v"])
 
             # Lipschitz guess from successive gradients (:127-130).
             diff_g = jax.tree_util.tree_map(lambda a, b: a - b, grads, grads_old)
@@ -220,13 +225,23 @@ def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
 
             new = prox_step(params, grads, step)
             direction = jax.tree_util.tree_map(lambda a, b: a - b, new, params)
-            loss_ns_new = l1(new["v"])
+            # Faithful h (:152-156): at that line the reference's
+            # ``loss_non_smooth`` still holds the PRE-step l1 (assigned at
+            # :107, only overwritten inside the search), so the non-smooth
+            # term is l1(v_pre) - l1(last accepted candidate) — which cancels
+            # to 0 in steady state — NOT the Bonettini l1(new) - l1(old).
             h = (
                 sum(jnp.sum((new[k] - params[k]) * grads[k]) for k in ("d", "v"))
                 + 0.5 * (gamma / step) * norm2(direction)
-                + loss_ns_new
+                + l1(params["v"])
                 - loss_ns_old
             )
+
+            # Seed the search with the scale-1 candidate == the prox step
+            # itself (its loss is one full victim forward; re-evaluating it
+            # inside the loop would double-pay the heaviest op per iteration).
+            loss_new = full(new)
+            accepted0 = loss_new <= loss_old + beta * h
 
             def ls_cond(ls):
                 i, accepted, stop, *_ = ls
@@ -246,14 +261,19 @@ def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
 
             _, accepted, flag_stop, cand, loss_c = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.zeros((), jnp.int32), jnp.array(False), jnp.array(False),
-                 new, full(new)),
+                (jnp.ones((), jnp.int32), accepted0, jnp.array(False),
+                 new, loss_new),
             )
+            # On exhaustion the reference KEEPS the full prox step — v/d were
+            # assigned before the search and are never rolled back on
+            # flag_stop (:143-146, :186-192) — and loss_all records the last
+            # tested candidate's loss (:195-196); loss_non_smooth_old is only
+            # refreshed on acceptance (:185).
             params_next = jax.tree_util.tree_map(
-                lambda c, p: jnp.where(accepted, c, p), cand, params
+                lambda c, nw: jnp.where(accepted, c, nw), cand, new
             )
             loss_ns_next = jnp.where(accepted, l1(params_next["v"]), loss_ns_old)
-            track = track.at[it].set(jnp.where(accepted, loss_c, loss_old))
+            track = track.at[it].set(loss_c)
             return (it + 1, flag_stop, params_next, params, grads,
                     loss_ns_next, lip, track)
 
@@ -391,10 +411,16 @@ def sadil_updated(
 
     Per epoch: per-batch v prox steps with a <=5-halving backtracking search
     that only ADAPTS the step size (the prox iterate is kept either way —
-    reference behavior, adil_regularized.py:436-441); D gradient accumulated
-    over the epoch, one prox step with its own <=5-halving search adapting
-    stepsize_D; skip the D step when ||grad_D||_inf < 1e-4; stop on
-    |Δloss| < tol.
+    reference behavior, adil_regularized.py:436-447; halvings count toward
+    step_v shrinkage only when the final damped candidate actually beat the
+    full step, :441-447); D gradient accumulated over the epoch, one prox
+    step with its own <=5-halving search that shrinks stepsize_D under the
+    same damped-beats-full gate (:486-495). When ||grad_D||_inf < 1e-4 the
+    D step is skipped the way the reference's ``continue`` does it
+    (:463-465): no loss is appended, the |Δloss| < tol check does not run
+    that epoch, and — because the skip leaves D un-reassigned, so its
+    ``.grad`` is never cleared — the gradient keeps accumulating into the
+    next epoch's check.
 
     Reference: adil_regularized.py:315-501.
     """
@@ -415,16 +441,24 @@ def sadil_updated(
 
     losses = [float(full_loss(variables, images, targets, weights, d, v,
                               lam1, lam2, coeff))]
+    # The reference only clears D's gradient by reassigning D when the D step
+    # runs; a skipped epoch (`continue`, :463-465) leaves .grad accumulating.
+    g_d_pending = jnp.zeros_like(d)
     for _ in range(nepochs):
         v, i_max, g_d = epoch(variables, images, targets, weights, d, v,
                               step_v, lam1, lam2, coeff)
         step_v = jnp.maximum(step_v * delta ** i_max, 1e-5)
-        if float(jnp.max(jnp.abs(g_d))) >= 1e-4:
-            d, step_d, loss_now = d_update(variables, images, targets, weights,
-                                           d, v, g_d, step_d, lam1, lam2, coeff)
-            losses.append(float(loss_now))
-        else:
-            losses.append(losses[-1])
+        g_d_pending = g_d_pending + g_d
+        if float(jnp.max(jnp.abs(g_d_pending))) < 1e-4:
+            # Reference `continue`: no loss appended, no convergence check
+            # this epoch (:463-465) — appending a duplicate here would make
+            # |Δloss| == 0 and spuriously terminate training.
+            continue
+        d, step_d, loss_now = d_update(variables, images, targets, weights,
+                                       d, v, g_d_pending, step_d,
+                                       lam1, lam2, coeff)
+        g_d_pending = jnp.zeros_like(d)
+        losses.append(float(loss_now))
         if abs(losses[-1] - losses[-2]) < tol:
             break
     return d, v[:n], losses
@@ -462,10 +496,12 @@ def _sadil_updated_fns(apply_fn, bsz: int, dict_set: str):
             v_new = soft_threshold(v_rows - step_v * g_v, step_v * lam1)
 
             loss_cur = batch_smooth(d, v_new, x, t, w) + lam1 * jnp.sum(jnp.abs(v_new))
+            # Faithful delta_h (:428-429): the reference's l1 difference term
+            # is |v_cur| - |v[ind]| evaluated AFTER v[ind] was assigned the
+            # prox step, i.e. exactly 0 — so no non-smooth term appears here.
             dh = (
                 jnp.sum(g_v * (v_new - v_rows))
                 + 0.5 / step_v * jnp.sum((v_new - v_rows) ** 2)
-                + lam1 * (jnp.sum(jnp.abs(v_new)) - jnp.sum(jnp.abs(v_rows)))
             )
 
             # Count halvings needed for sufficient decrease (bounded at 5);
@@ -478,16 +514,23 @@ def _sadil_updated_fns(apply_fn, bsz: int, dict_set: str):
                 i, _, dh_c = ls
                 i = i + 1
                 v_try = (delta**i) * v_new + (1 - delta**i) * v_rows
-                loss_c = batch_smooth(d, v_try, x, t, w) + lam1 * jnp.sum(jnp.abs(v_try))
+                # Candidate losses use UNSCALED l1 — the reference drops
+                # lambdaCoding inside the search (:439) while the full-step
+                # loss above keeps it (:426); replicated for exact halving
+                # counts at lambdaCoding != 1.
+                loss_c = batch_smooth(d, v_try, x, t, w) + jnp.sum(jnp.abs(v_try))
                 return (i, loss_c, dh_c * delta)
 
-            i_fin, _, _ = jax.lax.while_loop(
+            i_fin, loss_fin, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (jnp.zeros((), jnp.int32), loss_cur, dh)
             )
             v = jax.lax.dynamic_update_slice_in_dim(v, v_new, sl, axis=0)
 
+            # Halvings only count toward step_v shrinkage when the final
+            # damped candidate actually beat the full step (:441-447).
+            counted = jnp.where(loss_cur > loss_fin, i_fin, 0)
             g_d = jax.grad(lambda d_: batch_smooth(d_, v_new, x, t, w))(d)
-            return (v, jnp.maximum(i_max, i_fin), g_d_acc + g_d), None
+            return (v, jnp.maximum(i_max, counted), g_d_acc + g_d), None
 
         (v, i_max, g_d), _ = jax.lax.scan(
             body, (v, jnp.zeros((), jnp.int32), jnp.zeros_like(d)),
@@ -526,9 +569,15 @@ def _sadil_updated_fns(apply_fn, bsz: int, dict_set: str):
         i_fin, loss_fin, _ = jax.lax.while_loop(
             ls_cond, ls_body, (jnp.zeros((), jnp.int32), loss_cur, dh)
         )
-        # Keep the full step; shrink stepsize_D if halvings were needed.
-        step_d = jnp.maximum(step_d * delta**i_fin, 1e-6)
-        return d_new, step_d, jnp.where(i_fin > 0, loss_fin, loss_cur)
+        # Keep the full step either way (:486-492: D = D_cur in both
+        # branches); shrink stepsize_D and record the damped loss only when
+        # the final damped candidate beat the full step (:486-495) —
+        # otherwise stepsize_D is untouched and the full-step loss is kept.
+        use_damped = loss_cur > loss_fin
+        step_d = jnp.where(
+            use_damped, jnp.maximum(step_d * delta**i_fin, 1e-6), step_d
+        )
+        return d_new, step_d, jnp.where(use_damped, loss_fin, loss_cur)
 
     return epoch, d_update, full_loss
 
@@ -758,16 +807,16 @@ def _lcv_run(apply_fn, niter: int):
         def full(v):
             return smooth(v) + l1(v)
 
-        grad_fn = jax.grad(smooth)
-
         def cond(carry):
             it, stop = carry[0], carry[1]
             return jnp.logical_and(it < niter, jnp.logical_not(stop))
 
         def body(carry):
             it, _, v, step, loss_prev = carry
-            loss_old = full(v)
-            g = grad_fn(v)
+            # One forward serves both loss_old and the gradient — the
+            # reference reads loss_old off the graph it backprops (:557-561).
+            smooth_val, g = jax.value_and_grad(smooth)(v)
+            loss_old = smooth_val + l1(v)
             v_new = soft_threshold(v - step * g, step * lam1)
             dvv = v_new - v
             h = (
@@ -776,7 +825,11 @@ def _lcv_run(apply_fn, niter: int):
                 + l1(v_new)
                 - l1(v)
             )
+            # Seed the search with the scale-1 candidate == the prox step
+            # itself (reference index_i = 0, :585), avoiding a duplicated
+            # full victim forward inside the loop.
             loss_cur0 = full(v_new)
+            accepted0 = loss_cur0 <= loss_old + beta * h
 
             def ls_cond(ls):
                 i, accepted, _, _ = ls
@@ -792,15 +845,18 @@ def _lcv_run(apply_fn, niter: int):
 
             i_fin, accepted, v_try, loss_try = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.zeros((), jnp.int32), jnp.array(False), v_new, loss_cur0),
+                (jnp.ones((), jnp.int32), accepted0, v_new, loss_cur0),
             )
             # Accept the damped iterate only if it also beats the full step;
             # shrink the step size accordingly (:600-610). On search
-            # exhaustion keep the full step (:613-616).
+            # exhaustion the reference keeps the LAST (delta^10) damped
+            # candidate and records its loss (:613-616: v = new_v,
+            # loss_all.append(loss_full)); step_size is not shrunk there.
             use_damped = accepted & (loss_cur0 > loss_try)
-            v_next = jnp.where(use_damped, v_try, v_new)
+            take_try = use_damped | jnp.logical_not(accepted)
+            v_next = jnp.where(take_try, v_try, v_new)
             step = jnp.where(use_damped, step * delta ** (i_fin - 1), step)
-            loss_next = jnp.where(use_damped, loss_try, loss_cur0)
+            loss_next = jnp.where(take_try, loss_try, loss_cur0)
             stop = (loss_prev - loss_next) < tol
             return (it + 1, stop, v_next, step, loss_next)
 
@@ -962,13 +1018,21 @@ class ADILR(Attack):
         ds = as_array_dataset(data_train)
         images = jnp.asarray(ds.images, jnp.float32)
         labels = jnp.asarray(ds.labels, jnp.int32)
-        targets = _targets(
-            self.victim.apply_fn, self.victim.variables, images, labels, self.targeted
-        )
+
+        def targets():
+            # Only the prox-solver branches consume targets; the 'adamw'
+            # trainer computes its own labels in-graph (adilr_adamw), so
+            # resolving them eagerly would pay a full-dataset victim forward
+            # whose result is thrown away.
+            return _targets(
+                self.victim.apply_fn, self.victim.variables, images, labels,
+                self.targeted,
+            )
+
         key = jax.random.PRNGKey(self.seed)
         if self.version == "deterministic":
             d, v, track = adil_fb(
-                self.victim.apply_fn, self.victim.variables, images, targets,
+                self.victim.apply_fn, self.victim.variables, images, targets(),
                 self.cfg, key,
             )
             losses = np.asarray(track)
@@ -987,7 +1051,7 @@ class ADILR(Attack):
             losses = np.asarray(losses, np.float32)
         else:
             d, v, losses = sadil_updated(
-                self.victim.apply_fn, self.victim.variables, images, targets,
+                self.victim.apply_fn, self.victim.variables, images, targets(),
                 self.cfg, key,
             )
             losses = np.asarray(losses, np.float32)
@@ -1063,30 +1127,38 @@ class ADILR(Attack):
         scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n, self.cfg.n_atoms))
         return run(self.victim.variables, d, images, loc, scale, key)
 
+    def _laplace_params(self, mode: str):
+        """Fitted Laplace (loc, scale) for ``mode``, with the same
+        informative failure the class-conditioned variants raise when the
+        fit was never run (e.g. attack='supervised' against a cached
+        dictionary skips _fit_laplace_from_artifact)."""
+        if self.mean is None or mode not in self.mean:
+            raise RuntimeError(f"Laplace fit for '{mode}' unavailable")
+        return self.mean[mode], self.scale[mode]
+
     def forward_unsupervised(self, images, key):
         """conditioned='none': scalar Laplace (adil_regularized.py:931-978)."""
-        return self._best_of_trials(
-            images, self.mean["none"], self.scale["none"], key
-        )
+        loc, scale = self._laplace_params("none")
+        return self._best_of_trials(images, loc, scale, key)
 
     def forward_unsupervised_conditioned_atoms(self, images, key):
         """conditioned='atoms': per-atom Laplace (adil_regularized.py:817-868)."""
-        loc = jnp.asarray(self.mean["atoms"])[None, :]
-        scale = jnp.asarray(self.scale["atoms"])[None, :]
-        return self._best_of_trials(images, loc, scale, key)
+        loc, scale = self._laplace_params("atoms")
+        return self._best_of_trials(
+            images, jnp.asarray(loc)[None, :], jnp.asarray(scale)[None, :], key
+        )
 
     def forward_unsupervised_conditioned_target_atoms(self, images, labels, key, version="labels"):
         """conditioned='labels_atoms'/'predictions_atoms': per-class per-atom
         Laplace (adil_regularized.py:870-929)."""
         mode = "labels_atoms" if version == "labels" else "predictions_atoms"
-        if self.mean is None or mode not in self.mean:
-            raise RuntimeError(f"Laplace fit for '{mode}' unavailable")
+        loc_tab, scale_tab = self._laplace_params(mode)
         if version == "labels":
             target = labels
         else:
             target = self.victim.predict(images)
-        loc = jnp.asarray(self.mean[mode])[target]  # (N, K)
-        scale = jnp.asarray(self.scale[mode])[target]
+        loc = jnp.asarray(loc_tab)[target]  # (N, K)
+        scale = jnp.asarray(scale_tab)[target]
         return self._best_of_trials(images, loc, scale, key)
 
     def forward_supervised(self, images, labels):

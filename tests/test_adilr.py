@@ -63,12 +63,45 @@ class TestSolvers:
         assert bool(jnp.all(norms <= 1.0 + 1e-4))
 
     def test_sadil_updated_runs(self, victim, data, rng):
+        # CFG's lambda_l1=0.01 exceeds max|grad_v| at v=0 for this victim
+        # (~0.002), making v=0 a genuine prox fixed point — use a lambda_l1
+        # below the gradient scale so the solver actually moves.
+        cfg = RegularizedConfig(
+            lambda_l1=1e-4, lambda_l2=0.1, n_atoms=4, steps=5, step_size=1.0,
+            batch_size=4, targeted=False, trials=3,
+        )
         images, labels = data
         d, v, losses = sadil_updated(
-            victim.apply_fn, victim.variables, images, labels, CFG, rng, nepochs=3
+            victim.apply_fn, victim.variables, images, labels, cfg, rng, nepochs=3
         )
-        assert len(losses) >= 2
         assert np.isfinite(losses[-1])
+        assert bool(jnp.any(v != 0))
+
+    def test_sadil_updated_skipped_d_step_keeps_training(self, victim, data, rng):
+        """At this toy operating point every epoch's ||grad_D||_inf sits
+        under the reference's 1e-4 threshold, so the D step is skipped the
+        way the reference's ``continue`` does it (adil_regularized.py:463-465):
+        no loss is appended and the |Δloss| check never runs — training must
+        NOT spuriously stop, so v keeps moving across later epochs (the old
+        duplicate-append made epoch 1 terminal)."""
+        cfg = RegularizedConfig(
+            lambda_l1=1e-4, lambda_l2=0.1, n_atoms=4, steps=5, step_size=1.0,
+            batch_size=4, targeted=False, trials=3,
+        )
+        images, labels = data
+        _, v1, losses1 = sadil_updated(
+            victim.apply_fn, victim.variables, images, labels, cfg, rng, nepochs=1
+        )
+        _, v3, losses3 = sadil_updated(
+            victim.apply_fn, victim.variables, images, labels, cfg, rng, nepochs=3
+        )
+        # Epoch 1's D step is skipped: nothing appended (no duplicate).
+        assert len(losses1) == 1
+        # Training continued past the skipped epoch (the old duplicate-append
+        # made |Δloss| == 0 and stopped at epoch 1, leaving v3 == v1); later
+        # epochs may legitimately run a D step once the accumulated gradient
+        # crosses the reference's 1e-4 threshold.
+        assert not np.allclose(np.asarray(v1), np.asarray(v3))
 
     def test_learn_coding_vectors_sparsifies(self, victim, data, rng):
         images, labels = data
@@ -128,6 +161,27 @@ class TestADILRClass:
         adv = atk(images[:4], labels[:4])
         assert adv.shape == (4, 32, 32, 3)
         assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+    def test_unsupervised_without_fit_raises_informative(self, victim, data, tmp_path):
+        """A supervised-configured instance against a cached dictionary never
+        runs the Laplace fit; calling the unsupervised public API must raise
+        the same informative RuntimeError the conditioned modes do, not a
+        bare 'NoneType is not subscriptable' TypeError."""
+        images, labels = data
+        ds = ArrayDataset(np.asarray(images), np.asarray(labels))
+        cache = ArtifactCache(str(tmp_path))
+        kw = dict(
+            steps=2, lambda_l1=0.01, lambda_l2=0.1, n_atoms=4, batch_size=4,
+            version="stochastic", targeted=False, cache=cache,
+            model_name="reg_guard",
+        )
+        ADILR(victim, data_train=ds, **kw)(images[:2], labels[:2])  # train+cache
+        atk = ADILR(victim, attack="supervised", **kw)  # cache hit, no fit
+        key = jax.random.PRNGKey(0)
+        with pytest.raises(RuntimeError, match="none"):
+            atk.forward_unsupervised(images[:2], key)
+        with pytest.raises(RuntimeError, match="atoms"):
+            atk.forward_unsupervised_conditioned_atoms(images[:2], key)
 
     def test_deterministic_version(self, victim, data, tmp_path):
         images, labels = data
