@@ -808,7 +808,18 @@ class ADIL(Attack):
             self._clear_train_state()
 
     def _learn_alter(self, data_train, data_val):
-        """Alternating v-phase / d-phase. Reference: adil.py:212-332."""
+        """Alternating v-phase / d-phase. Reference: adil.py:212-332.
+
+        Documented intent fix: the convergence/tracking metric here is the
+        NORMALIZED EPOCH SUM of the final d-pass (matching the gd path,
+        adil.py:189-193). The reference's d-step accidentally records only
+        the LAST batch's loss — its ``loss_full += loss`` block sits outside
+        the batch loop (adil.py:311-314), unlike the gd path where the same
+        block is inside it — so its |Δloss| < 1e-6 stop compares noisy
+        single-batch values and effectively never fires with batch_size < n.
+        We implement the gd-path semantics on purpose; stop epochs can
+        therefore differ from the reference for method='alter'.
+        """
         # Standard layout only (see _learn_gd_streamed note).
         self._train_blocked = False
         self.trained_blocked = False
