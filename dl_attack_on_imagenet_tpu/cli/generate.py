@@ -124,7 +124,12 @@ def main(args) -> dict:
     total = 0
     fooled = 0.0
     t0 = time.time()
-    for start, x, y, k in host_batches():
+    # Two-deep device lookahead: while the attack blocks on batch n, batch
+    # n+1's decode and H2D transfer are already in flight (jax.device_put is
+    # async) — without this the native decoder and the TPU idle-wait on each
+    # other every batch.
+    for start, x, y, k in prefetch_to_device(host_batches(), size=2):
+        start, k = int(start), int(k)
         x = jnp.asarray(x, jnp.float32)
         tb = time.time()
         adv = attack(x, jnp.asarray(y))
