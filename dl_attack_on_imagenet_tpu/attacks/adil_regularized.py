@@ -332,6 +332,17 @@ def sadil(
     prox-gradient step on that batch's rows (soft-threshold). Epoch loss
     re-evaluated full-batch; stop on |Δloss| < tol.
 
+    Documented intent fix: each step here uses the FRESH batch gradient.
+    The reference never zeroes ``v.grad`` (and ``v`` is only ever updated
+    in place, so the leaf survives), which makes its v update direction the
+    cumulative SUM of every v gradient since training start — both the
+    D-step's and the v-step's backward feed it each batch
+    (adil_regularized.py:264-304: no ``zero_grad`` anywhere in the loop).
+    That accumulation is a missing-``zero_grad`` accident, not SPRING
+    [Driggs et al., 2021]; we implement the stated algorithm. D is
+    reassigned every batch in the reference, so its gradient IS fresh
+    there — no deviation on the D side.
+
     Reference: adil_regularized.py:200-312.
     """
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
