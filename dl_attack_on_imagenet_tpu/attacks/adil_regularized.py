@@ -102,7 +102,11 @@ def _smooth_loss_hp(apply_fn, variables, d, v, images, targets, lam2, coeff,
     (adil_regularized.py:107-113). ``weights`` (N,) masks padded rows.
     """
     dv = dict_apply(v, d)
-    logits = apply_fn(variables, images + dv).astype(jnp.float32)
+    logits = apply_fn(variables, images + dv)
+    # Upcast bf16/f16 logits for a stable CE; promote (never downcast) so
+    # f64 runs — the cross-framework trajectory oracles, where f32's noise
+    # floor flips knife-edge line-search decisions — stay f64 end to end.
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce_per = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     sq_per = jnp.sum(dv**2, axis=tuple(range(1, dv.ndim)))
@@ -146,8 +150,13 @@ def adil_fb(
     key: jax.Array,
     dictionary: Optional[jax.Array] = None,
     niter: Optional[int] = None,
+    d_init: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full-batch forward-backward splitting with Bonettini line search.
+
+    ``d_init`` seeds the LEARNED dictionary deterministically (projected
+    like the reference's random init, :77-80) — used by the cross-framework
+    trajectory oracle; ``dictionary`` instead freezes d entirely (:49-56).
 
     Returns (d, v, loss_track). Line-search constants delta=.5, gamma=1,
     beta=.5 (adil_regularized.py:60-63); Lipschitz estimated from gradient
@@ -162,7 +171,9 @@ def adil_fb(
 
     if learn_d:
         d0 = project_atoms(
-            jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+            d_init if d_init is not None
+            else jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]),
+            cfg.dict_set,
         )
     else:
         d0 = dictionary
@@ -280,6 +291,8 @@ def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
         params0 = {"d": d0, "v": v0}
         zeros_like_p = jax.tree_util.tree_map(jnp.zeros_like, params0)
         track0 = jnp.full((niter,), jnp.nan)
+        # The carried Lipschitz scalar must match the dtype the body's
+        # estimate produces (images dtype) for while_loop carry stability.
         carry = (
             jnp.zeros((), jnp.int32),
             jnp.array(False),
@@ -287,7 +300,7 @@ def _adil_fb_run(apply_fn, dict_set: str, learn_d: bool, niter: int):
             zeros_like_p,
             zeros_like_p,
             jnp.zeros(()),
-            0.9 / step_size0,
+            0.9 / jnp.asarray(step_size0, images.dtype),
             track0,
         )
         carry = jax.lax.while_loop(outer_cond, outer_body, carry)
@@ -325,8 +338,12 @@ def sadil(
     key: jax.Array,
     nepochs: Optional[int] = None,
     tol: float = 1e-6,
+    d_init: Optional[jax.Array] = None,
 ):
     """SPRING-style stochastic alternating prox steps, fixed step size.
+
+    ``d_init`` seeds the dictionary deterministically (projected like the
+    random init, :240-241) — used by the cross-framework trajectory oracle.
 
     Per batch: D prox-gradient step (project onto dict_set), then v
     prox-gradient step on that batch's rows (soft-threshold). Epoch loss
@@ -351,7 +368,9 @@ def sadil(
     images, targets, weights, _ = _pad_for_batching(images, targets, bsz)
 
     d = project_atoms(
-        jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+        d_init if d_init is not None
+        else jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]),
+        cfg.dict_set,
     )
     v = jnp.zeros((images.shape[0], cfg.n_atoms))
     epoch, full_loss = _sadil_fns(apply_fn, bsz, cfg.dict_set)
@@ -417,8 +436,12 @@ def sadil_updated(
     key: jax.Array,
     nepochs: Optional[int] = None,
     tol: float = 1e-6,
+    d_init: Optional[jax.Array] = None,
 ):
     """Large-scale stochastic variant with step-size adaptation.
+
+    ``d_init`` seeds the dictionary deterministically (projected like the
+    random init, :358-359) — used by the cross-framework trajectory oracle.
 
     Per epoch: per-batch v prox steps with a <=5-halving backtracking search
     that only ADAPTS the step size (the prox iterate is kept either way —
@@ -433,6 +456,15 @@ def sadil_updated(
     ``.grad`` is never cleared — the gradient keeps accumulating into the
     next epoch's check.
 
+    Documented intent fix (missing ``zero_grad``, same class as sadil's):
+    the accumulated D gradient here is the sum of FRESH per-batch gradients
+    at that batch's post-step codes (the :458 backward). In the reference,
+    once the first batch sets ``D.requires_grad`` (:450), every later
+    batch's *v-step* backward (:405) ALSO deposits into ``D.grad`` — a
+    second, pre-step-codes gradient per batch from :394-396's no-op
+    ``detach()`` calls — and ``v.grad`` likewise accumulates every backward
+    since training start. We implement the stated algorithm.
+
     Reference: adil_regularized.py:315-501.
     """
     nepochs = int(nepochs if nepochs is not None else cfg.steps)
@@ -442,7 +474,9 @@ def sadil_updated(
     delta = 0.5
 
     d = project_atoms(
-        jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]), cfg.dict_set
+        d_init if d_init is not None
+        else jax.random.normal(key, (cfg.n_atoms,) + images.shape[1:]),
+        cfg.dict_set,
     )
     v = jnp.zeros((images.shape[0], cfg.n_atoms))
     step_v = jnp.asarray(cfg.step_size)
