@@ -48,10 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mixed-precision", action="store_true",
                    help="perturb_dtype=bfloat16: bf16 inner forwards, fp32 "
                         "master state and budget clamps (~7%% faster steps)")
-    p.add_argument("--fast-victim", action="store_true",
-                   help="build the victim with stem_s2d + fold_bn "
-                        "(mathematically identical ResNet, ~2x faster "
-                        "attack stem gradients; enables blocked training)")
+    from ._victim import add_victim_args
+
+    add_victim_args(p)
     return p
 
 
@@ -77,36 +76,12 @@ def main(args) -> dict:
         per_class = [2, 1, 1]
         model_name = "tiny"
     else:
-        victim_kwargs = {}
-        if getattr(args, "fast_victim", False):
-            # Per-architecture fast knobs (all mathematically exact —
-            # tests/test_s2d_stem.py, tests/test_fold_bn.py; measured in
-            # BENCHMARKS.md round 3): ResNets take stem_s2d + fold_bn,
-            # densenet/googlenet share the same 7x7/s2 stem so stem_s2d
-            # applies (+6-11% steps), googlenet/inception/mobilenet fold
-            # their eval-mode BNs (perf-neutral but harmless).
-            if "resnet" in args.model:
-                victim_kwargs = dict(stem_s2d=True, fold_bn=True)
-            elif "densenet" in args.model:
-                victim_kwargs = dict(stem_s2d=True)
-            elif "googlenet" in args.model:
-                victim_kwargs = dict(stem_s2d=True, fold_bn=True)
-            elif "inception" in args.model or "mobilenet" in args.model:
-                victim_kwargs = dict(fold_bn=True)
-            else:
-                print(f"warning: --fast-victim has no knobs for "
-                      f"'{args.model}'; ignored")
         # Blanket input size for every victim (incl. inception) — the
-        # reference's single dataset transform (DS_ImageNet.py:14-18).
-        from ..models import blanket_input_size
+        # reference's single dataset transform (DS_ImageNet.py:14-18) —
+        # plus --fast-victim knobs and optional --weights conversion.
+        from ._victim import build_victim
 
-        victim = create_model(
-            args.model, rng=rng,
-            input_size=blanket_input_size(
-                args.model, getattr(args, "input_size", None)
-            ),
-            **victim_kwargs,
-        )
+        victim = build_victim(args)
         folder = load_imagenet(args.data_root)
         dataset = folder.materialize()
         num_classes = args.trained_classes

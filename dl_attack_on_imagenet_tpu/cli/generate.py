@@ -48,24 +48,30 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reference's blanket 224 crop for every ImageNet "
                         "victim incl. inception (DS_ImageNet.py:14-18), "
                         "native size for the tiny test victim")
+    # TPU serving knobs (same semantics as cli.demo; defaults keep the
+    # reference trajectory exactly).
+    from ._victim import add_victim_args
+
+    add_victim_args(p)
+    p.add_argument("--mixed-precision", action="store_true",
+                   help="perturb_dtype=bfloat16: bf16 inner forwards, fp32 "
+                        "master state and budget clamps")
     return p
 
 
 def main(args) -> dict:
     from ..attacks import ADIL
     from ..data import prefetch_to_device
-    from ..models import create_model
     from ..utils import ArtifactCache, MetricLogger
 
-    from ..models import blanket_input_size
+    from ._victim import build_victim
 
-    victim = create_model(
-        args.model, rng=jax.random.PRNGKey(args.seed),
-        input_size=blanket_input_size(args.model, getattr(args, "input_size", None)),
-    )
+    victim = build_victim(args)
     attack = ADIL(
         victim, eps=args.eps, model_name=args.model, attack=args.mode,
         steps_inference=args.steps_inference, cache=ArtifactCache(args.dict_dir),
+        perturb_dtype="bfloat16" if getattr(args, "mixed_precision", False)
+        else "float32",
     )
 
     if args.blob:

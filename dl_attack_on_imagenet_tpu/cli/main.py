@@ -40,21 +40,20 @@ def build_argparser() -> argparse.ArgumentParser:
                         "victim incl. inception (DS_ImageNet.py:14-18), "
                         "native size for the tiny test victim; pass 299 "
                         "for Inception's native size")
+    from ._victim import add_victim_args
+
+    add_victim_args(p)
     return p
 
 
 def main(args) -> str:
     from ..attacks import ADIL
     from ..data.imagenet import default_transform, load_imagenet
-    from ..models import create_model
     from ..utils import ArtifactCache
 
-    from ..models import blanket_input_size
+    from ._victim import build_victim
 
-    victim = create_model(
-        args.model, rng=jax.random.PRNGKey(args.seed),
-        input_size=blanket_input_size(args.model, getattr(args, "input_size", None)),
-    )
+    victim = build_victim(args)
 
     classes = None
     if args.image and os.path.exists(args.image):

@@ -69,6 +69,26 @@ def blanket_input_size(name: str, override: Optional[int] = None) -> Optional[in
     return None
 
 
+def fast_victim_kwargs(name: str) -> dict:
+    """Per-architecture exact-math fast knobs for ``create_model``.
+
+    All mathematically identical to the plain build (tests/test_s2d_stem.py,
+    tests/test_fold_bn.py; measured in BENCHMARKS.md round 3): ResNets and
+    GoogLeNet take stem_s2d + fold_bn, DenseNet shares the same 7x7/s2 stem
+    so stem_s2d applies, Inception/MobileNet fold their eval-mode BNs.
+    Returns {} for architectures with no applicable knobs (vgg, vit, tiny).
+    Used by ``cli.demo --fast-victim`` and ``cli.generate --fast-victim``.
+    """
+    key = name.lower()
+    if "resnet" in key or "googlenet" in key:
+        return dict(stem_s2d=True, fold_bn=True)
+    if "densenet" in key:
+        return dict(stem_s2d=True)
+    if "inception" in key or "mobilenet" in key:
+        return dict(fold_bn=True)
+    return {}
+
+
 @dataclasses.dataclass
 class VictimModel:
     """A frozen classifier over [0,1] NHWC images.
@@ -218,6 +238,7 @@ __all__ = [
     "VictimModel",
     "blanket_input_size",
     "create_model",
+    "fast_victim_kwargs",
     "blocked_twin",
     "Normalize",
     "resnet18",
