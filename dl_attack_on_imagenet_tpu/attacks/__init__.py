@@ -9,9 +9,22 @@ from .base import Attack  # noqa: F401
 from .adil import ADIL  # noqa: F401
 from .adil_core import AdilConfig  # noqa: F401
 from .adil_regularized import ADILR, RegularizedConfig  # noqa: F401
+from .apgd import APGD, APGDT  # noqa: F401
+from .cw import CW  # noqa: F401
 from .deepfool import DeepFool, deepfool_batch  # noqa: F401
 from .fast_uap import DeepFoolCosinus, FastUAP  # noqa: F401
+from .fgsm_family import (  # noqa: F401
+    DIFGSM,
+    EOTPGD,
+    FFGSM,
+    GN,
+    MIFGSM,
+    RFGSM,
+    TPGD,
+    VANILA,
+)
 from .pgd import BIM, FGSM, PGD  # noqa: F401
+from .square import Square  # noqa: F401
 from .uap_pgd import UAPPGD  # noqa: F401
 from .universal_pert import universal_perturbation  # noqa: F401
 
@@ -30,4 +43,16 @@ __all__ = [
     "FGSM",
     "PGD",
     "BIM",
+    "RFGSM",
+    "FFGSM",
+    "MIFGSM",
+    "TPGD",
+    "EOTPGD",
+    "DIFGSM",
+    "GN",
+    "VANILA",
+    "CW",
+    "APGD",
+    "APGDT",
+    "Square",
 ]
