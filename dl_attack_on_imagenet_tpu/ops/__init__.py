@@ -29,6 +29,8 @@ from .losses import (
     cross_entropy_sum,
     cross_entropy_mean,
     attack_loss,
+    dlr_loss,
+    dlr_loss_targeted,
 )
 from .laplace import (
     laplace_fit,
@@ -58,6 +60,8 @@ __all__ = [
     "cross_entropy_sum",
     "cross_entropy_mean",
     "attack_loss",
+    "dlr_loss",
+    "dlr_loss_targeted",
     "laplace_fit",
     "laplace_fit_per_atom",
     "laplace_fit_conditioned",

@@ -59,6 +59,35 @@ def cross_entropy_mean(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.mean(nll)
 
 
+def dlr_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Difference-of-Logits-Ratio loss, per-sample (Croce & Hein, ICML 2020,
+    eq. 6) — the scale-invariant objective behind APGD-DLR (the reference's
+    commented 'APGD'/'AutoAttack' baseline rows, demo_dL_attack.py:137-138).
+
+    Untargeted: -(z_y - max_{i!=y} z_i) / (z_pi1 - z_pi3 + 1e-12), where
+    pi sorts logits descending. MAXIMIZED by the attack.
+    """
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    true_logit = jnp.sum(logits * one_hot, axis=-1)
+    other = jnp.max(jnp.where(one_hot > 0, -jnp.inf, logits), axis=-1)
+    sorted_z = jnp.sort(logits, axis=-1)  # ascending
+    z1, z3 = sorted_z[:, -1], sorted_z[:, -3]
+    return -(true_logit - other) / (z1 - z3 + 1e-12)
+
+
+def dlr_loss_targeted(logits: jax.Array, labels: jax.Array,
+                      targets: jax.Array) -> jax.Array:
+    """Targeted DLR, per-sample (Croce & Hein 2020, eq. 7 — APGD-T):
+    -(z_y - z_t) / (z_pi1 - (z_pi3 + z_pi4)/2 + 1e-12). MAXIMIZED."""
+    idx = jnp.arange(logits.shape[0])
+    true_logit = logits[idx, labels]
+    target_logit = logits[idx, targets]
+    sorted_z = jnp.sort(logits, axis=-1)
+    z1, z3, z4 = sorted_z[:, -1], sorted_z[:, -3], sorted_z[:, -4]
+    return -(true_logit - target_logit) / (z1 - 0.5 * (z3 + z4) + 1e-12)
+
+
 def attack_loss(
     logits: jax.Array,
     labels: jax.Array,
