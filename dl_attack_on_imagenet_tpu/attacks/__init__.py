@@ -12,6 +12,7 @@ from .adil_regularized import ADILR, RegularizedConfig  # noqa: F401
 from .apgd import APGD, APGDT  # noqa: F401
 from .cw import CW  # noqa: F401
 from .deepfool import DeepFool, deepfool_batch  # noqa: F401
+from .fab import FAB  # noqa: F401
 from .fast_uap import DeepFoolCosinus, FastUAP  # noqa: F401
 from .fgsm_family import (  # noqa: F401
     DIFGSM,
@@ -55,4 +56,5 @@ __all__ = [
     "APGD",
     "APGDT",
     "Square",
+    "FAB",
 ]

@@ -1,0 +1,142 @@
+"""FAB: exact l∞ hyperplane∩box projection (optimality-checked against a
+numeric bisection oracle), minimum-distortion behavior, and compile sharing.
+
+No cross-framework oracle here: the attack's only nontrivial numerics is
+the projection subroutine, which is pinned by exact optimality conditions
+(feasibility, tightness |delta|_inf == t*, boundary attainment h(x+d) == 0,
+and equality with an independent bisection solve) — stronger than a
+trajectory diff against a second implementation of the same loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_attack_on_imagenet_tpu.attacks import FAB, PGD
+from dl_attack_on_imagenet_tpu.attacks.fab import linf_hyperplane_box_project
+from dl_attack_on_imagenet_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return create_model("tiny", rng=jax.random.PRNGKey(7))
+
+
+@pytest.fixture(scope="module")
+def batch(victim):
+    x = jax.random.uniform(jax.random.PRNGKey(3), (8, 32, 32, 3))
+    return x, victim.predict(x)
+
+
+def _bisect_t(x, w, hval, iters=80):
+    """Independent solve of sum_i |w_i| min(t, room_i) = |hval| by bisection."""
+    s = -np.sign(hval) * np.sign(w)
+    room = np.where(s > 0, 1 - x, np.where(s < 0, x, np.inf))
+    room = np.where(np.abs(w) > 0, room, np.inf)
+    a = np.abs(w)
+
+    def g(t):
+        return float(np.sum(a * np.minimum(t, room)))
+
+    target = abs(float(hval))
+    finite = np.isfinite(room)
+    gmax = float(np.sum(a[finite] * room[finite]) + np.sum(a[~finite]) * 1e9)
+    if gmax < target:
+        return np.inf
+    lo, hi = 0.0, 1e9
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if g(mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
+class TestProjection:
+    def test_optimality_against_bisection(self):
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            d = 64
+            x = rng.random(d).astype(np.float32)
+            w = rng.standard_normal(d).astype(np.float32)
+            w[rng.random(d) < 0.2] = 0.0  # dead coordinates
+            hval = np.float32(rng.standard_normal() * 2)
+            delta, t = linf_hyperplane_box_project(
+                jnp.asarray(x)[None], jnp.asarray(w)[None],
+                jnp.asarray(hval)[None])
+            delta, t = np.asarray(delta[0]), float(t[0])
+            t_ref = _bisect_t(x, w, hval)
+            if not np.isfinite(t_ref):
+                assert not np.isfinite(t)
+                assert np.all(delta == 0)
+                continue
+            assert abs(t - t_ref) <= 1e-5 * max(1.0, t_ref), trial
+            z = x + delta
+            assert z.min() >= -1e-6 and z.max() <= 1 + 1e-6  # box
+            assert np.max(np.abs(delta)) <= t + 1e-6          # tightness
+            # boundary attained in the linear model
+            assert abs(hval + float(w @ delta)) <= 5e-4 * max(1.0, abs(hval))
+
+    def test_infeasible_and_zero_cases(self):
+        x = jnp.full((1, 8), 0.5)
+        w = jnp.ones((1, 8))
+        # target decrease 100 >> reachable 0.5*8 = 4
+        delta, t = linf_hyperplane_box_project(x, w, jnp.asarray([100.0]))
+        assert not bool(jnp.isfinite(t[0]))
+        assert float(jnp.max(jnp.abs(delta))) == 0.0
+        # already on the hyperplane
+        delta0, t0 = linf_hyperplane_box_project(x, w, jnp.asarray([0.0]))
+        assert float(t0[0]) == 0.0
+        assert float(jnp.max(jnp.abs(delta0))) == 0.0
+
+
+class TestFAB:
+    def test_fools_with_minimal_distortion(self, victim, batch):
+        x, y = batch
+        adv = FAB(victim, steps=20, n_classes=4)(x, y)
+        pred = victim.predict(adv)
+        fool = float(jnp.mean((pred != y).astype(jnp.float32)))
+        assert fool >= 0.75
+        # minimum-distortion property: the boundary sits far closer than a
+        # PGD eps-ball attack's operating point on this near-flat victim
+        dists = jnp.max(jnp.abs(adv - x), axis=(1, 2, 3))
+        fooled = pred != y
+        assert float(jnp.median(dists[fooled])) < 8 / 255
+
+        adv_pgd = PGD(victim, eps=16 / 255, alpha=4 / 255, steps=20)(x, y)
+        pgd_d = jnp.max(jnp.abs(adv_pgd - x), axis=(1, 2, 3))
+        assert float(jnp.median(dists[fooled])) < float(jnp.median(pgd_d))
+
+    def test_never_fooled_returns_clean(self, victim, batch):
+        """steps=0 runs no iterations: nothing can be found, output == input."""
+        x, y = batch
+        adv = FAB(victim, steps=0)(x, y)
+        np.testing.assert_array_equal(np.asarray(adv), np.asarray(x))
+
+    def test_targeted_mode_runs_and_restarts_deterministic(self, victim,
+                                                           batch):
+        x, y = batch
+        atk = FAB(victim, steps=10, n_classes=3, targeted=True, n_restarts=2,
+                  seed=5)
+        a = atk(x, y)
+        atk2 = FAB(victim, steps=10, n_classes=3, targeted=True,
+                   n_restarts=2, seed=5)
+        b = atk2(x, y)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        fool = float(jnp.mean((victim.predict(a) != y).astype(jnp.float32)))
+        assert fool >= 0.5
+
+    def test_instances_share_compile(self, victim, batch):
+        x, y = batch
+        from dl_attack_on_imagenet_tpu.attacks.fab import _fab_cache
+
+        _ = FAB(victim, steps=5, n_classes=4)(x, y)
+        fn = _fab_cache(victim.apply_fn, 5, 3, False)
+        n = fn._cache_size()
+        _ = FAB(victim, steps=5, n_classes=4, eps=16 / 255)(x, y)
+        assert fn._cache_size() == n, "second FAB instance retraced"
+
+    def test_l2_rejected(self, victim):
+        with pytest.raises(ValueError):
+            FAB(victim, norm="L2")
