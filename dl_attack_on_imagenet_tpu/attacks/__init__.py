@@ -10,6 +10,7 @@ from .adil import ADIL  # noqa: F401
 from .adil_core import AdilConfig  # noqa: F401
 from .adil_regularized import ADILR, RegularizedConfig  # noqa: F401
 from .apgd import APGD, APGDT  # noqa: F401
+from .autoattack import AutoAttack  # noqa: F401
 from .cw import CW  # noqa: F401
 from .deepfool import DeepFool, deepfool_batch  # noqa: F401
 from .fab import FAB  # noqa: F401
@@ -57,4 +58,5 @@ __all__ = [
     "APGDT",
     "Square",
     "FAB",
+    "AutoAttack",
 ]
