@@ -25,6 +25,7 @@ from .fgsm_family import (  # noqa: F401
     TPGD,
     VANILA,
 )
+from .one_pixel import OnePixel  # noqa: F401
 from .pgd import BIM, FGSM, PGD  # noqa: F401
 from .square import Square  # noqa: F401
 from .uap_pgd import UAPPGD  # noqa: F401
@@ -59,4 +60,5 @@ __all__ = [
     "Square",
     "FAB",
     "AutoAttack",
+    "OnePixel",
 ]
