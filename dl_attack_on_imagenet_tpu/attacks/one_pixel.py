@@ -16,7 +16,11 @@ the best member fools — rebuilt TPU-first:
 - population energies (the true-class softmax probability being minimized,
   torchattacks ``OnePixel._loss``) are evaluated through the victim in
   ``inf_batch``-sized chunks via ``lax.map`` — the knob the reference row
-  sets to 50;
+  sets to 50. Candidates are PAINTED inside each chunk (the chunk gathers
+  its source images and applies its candidate parameters right before the
+  forward), so peak live memory is ``inf_batch`` adversarial images, not
+  the full ``n*pop`` candidate tensor — ``inf_batch`` bounds HBM as well
+  as the forward batch (advisor round-3 medium);
 - candidate application is exact torchattacks ``_perturb`` semantics:
   ``int()`` truncation of the two coordinates, channels overwritten.
 
@@ -70,6 +74,11 @@ def one_pixel_de(apply_fn, variables, images, labels, *, steps: int,
     early-stop test is the torchattacks callback's: does the argmax of the
     current BEST member differ from the label (match the target)?
     """
+    if key is None:
+        raise ValueError(
+            "one_pixel_de requires an explicit PRNG key (e.g. "
+            "jax.random.PRNGKey(seed)) — the evolution stream is derived "
+            "from it by fold_in per generation")
     x = images.astype(jnp.float32)
     n, h, w, c = x.shape
     dims = pixels * (2 + c)
@@ -78,21 +87,27 @@ def one_pixel_de(apply_fn, variables, images, labels, *, steps: int,
                   pixels)
 
     def energies(pop_all):
-        cands = pop_all.reshape(n, pop, pixels, 2 + c)
-        advs = jax.vmap(
-            lambda img, cs: jax.vmap(
-                lambda cd: _apply_candidate(img, cd, h, w))(cs))(x, cands)
-        flat = advs.reshape(n * pop, h, w, c)
-        pad = (-flat.shape[0]) % inf_batch
+        # Chunk over CANDIDATE PARAMETERS (tiny: (pixels, 2+c) floats each)
+        # and paint inside the chunk body, so only inf_batch adversarial
+        # images are ever live — inf_batch bounds peak HBM, not just the
+        # victim's forward batch (advisor round-3 medium finding).
+        cands = pop_all.reshape(n * pop, pixels, 2 + c)
+        src = jnp.arange(n * pop, dtype=jnp.int32) // pop
+        pad = (-(n * pop)) % inf_batch
         if pad:
-            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        chunks = flat.reshape(-1, inf_batch, h, w, c)
+            cands = jnp.pad(cands, ((0, pad), (0, 0), (0, 0)))
+            src = jnp.pad(src, (0, pad))
+        cand_chunks = cands.reshape(-1, inf_batch, pixels, 2 + c)
+        src_chunks = src.reshape(-1, inf_batch)
 
-        def fwd(chunk):
-            logits = apply_fn(variables, chunk).astype(jnp.float32)
+        def fwd(args):
+            cds, isrc = args
+            advs = jax.vmap(
+                lambda i, cd: _apply_candidate(x[i], cd, h, w))(isrc, cds)
+            logits = apply_fn(variables, advs).astype(jnp.float32)
             return jax.nn.softmax(logits, axis=-1), jnp.argmax(logits, -1)
 
-        probs, preds = jax.lax.map(fwd, chunks)
+        probs, preds = jax.lax.map(fwd, (cand_chunks, src_chunks))
         probs = probs.reshape(-1, probs.shape[-1])[: n * pop]
         preds = preds.reshape(-1)[: n * pop].reshape(n, pop)
         p_lab = jnp.take_along_axis(
@@ -179,7 +194,17 @@ def _one_pixel_cache(apply_fn, steps: int, pixels: int, pop: int,
 
 
 class OnePixel(Attack):
-    """Reference row: ``OnePixel(model, pixels=5, inf_batch=50)``."""
+    """Reference row: ``OnePixel(model, pixels=5, inf_batch=50)``.
+
+    Documented divergence of record — stateful per-instance RNG: each
+    ``forward`` advances ``_rng_calls`` and folds it into ``PRNGKey(seed)``,
+    so calling the SAME instance twice on identical inputs draws fresh
+    randomness (matching torchattacks' consumption of the ambient torch RNG
+    stream across calls). Runs are reproducible per (seed, call-sequence);
+    for idempotent calls construct a fresh instance or reset ``_rng_calls``.
+    The other stochastic baselines (Square/FAB/APGD/fgsm_family) share this
+    convention.
+    """
 
     def __init__(self, victim: VictimModel, pixels: int = 1, steps: int = 10,
                  popsize: int = 10, inf_batch: int = 128, seed: int = 0,
