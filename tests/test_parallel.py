@@ -111,20 +111,76 @@ def test_learn_dictionary_distributed_end_to_end(victim, dataset, devices):
     assert history["loss"][-1] <= history["loss"][0]
 
 
-def test_dp_matches_single_device_first_epoch_loss(victim, dataset, devices):
-    """DP global metrics should be close to single-device on the same data
-    (same algorithm; batching partition differs, so compare magnitudes)."""
+def test_dp_matches_partition_matched_serial_replay(victim, dataset, devices):
+    """ADIL DP training == serial replay EXACTLY (VERDICT r3 missing #3).
+
+    The serial replay runs the identical math on one device with each step's
+    global batch being the union of the per-device local batches
+    (``global_batches_from_local``), so the psum'd D-grad equals the serial
+    sum and the whole (d, v, optimizer) trajectory must match to float
+    tolerance over multiple epochs — replacing the old 20%-magnitude smoke
+    check. Reference: adil.py:334-430.
+    """
     from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+    from dl_attack_on_imagenet_tpu.parallel.adil_dp import (
+        global_batches_from_local,
+        label_rows_sharded,
+        make_dp_replay_epoch_fn,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = data_mesh(8)
-    cfg = AdilConfig(eps=8 / 255, n_atoms=5, loss="ce", steps=1, batch_size=32)
-    d, v, hist_dp = learn_dictionary_distributed(victim, dataset, cfg, mesh, seed=0)
+    n_dev, n = 8, 32
+    n_local = n // n_dev
+    cfg = AdilConfig(eps=8 / 255, n_atoms=5, loss="ce", steps=3, batch_size=16)
 
-    images = jnp.asarray(dataset.images)
+    # Mirror learn_dictionary_distributed's init sequence exactly.
+    key = jax.random.PRNGKey(0)
+    kd, kv, key = jax.random.split(key, 3)
+    d0 = core.init_dictionary(kd, dataset.image_shape, cfg).reshape(cfg.n_atoms, -1)
+    v0 = core.init_codes(kv, n, cfg, mode="distributed")
+
+    images = jnp.asarray(dataset.images, jnp.float32)
+    images_dp = shard_rows(mesh, images)
+    labels_dp = label_rows_sharded(victim.apply_fn, victim.variables, images_dp, mesh)
     labels = core.predict_labels(victim.apply_fn, victim.variables, images)
-    state = core.init_state(jax.random.PRNGKey(0), dataset.image_shape, 32, cfg)
-    epoch = core.make_epoch_fn(victim.apply_fn, cfg, "both")
-    batches = core.make_batches(jax.random.PRNGKey(1), 32, 32)
-    _, loss, _ = epoch(state, victim.variables, images, labels, batches)
-    single = float(loss) / 32
-    assert abs(hist_dp["loss"][0] - single) / max(abs(single), 1e-9) < 0.2
+    np.testing.assert_array_equal(np.asarray(labels_dp), np.asarray(labels))
+
+    opt_d = core.make_optimizer(cfg.step_size)
+    opt_v = core.make_optimizer(cfg.step_size)
+
+    d_dp = jax.device_put(d0, NamedSharding(mesh, P(None, None)))
+    v_dp = jax.device_put(v0, NamedSharding(mesh, P("data", None)))
+    od_dp, ov_dp = opt_d.init(d_dp), opt_v.init(v_dp)
+    epoch_dp = make_dp_epoch_fn(victim.apply_fn, cfg, mesh)
+
+    d_sr, v_sr = d0, v0
+    od_sr, ov_sr = opt_d.init(d_sr), opt_v.init(v_sr)
+    epoch_sr = make_dp_replay_epoch_fn(victim.apply_fn, cfg)
+
+    key_epochs = jax.random.PRNGKey(42)
+    for _ in range(cfg.steps):
+        key_epochs, sub = jax.random.split(key_epochs)
+        plans = make_local_batches(sub, n, n_dev, cfg.batch_size)
+        batches_dp = jax.device_put(
+            jnp.asarray(plans), NamedSharding(mesh, P("data", None, None))
+        )
+        d_dp, od_dp, v_dp, ov_dp, loss_dp, fool_dp = epoch_dp(
+            d_dp, od_dp, v_dp, ov_dp, images_dp, labels_dp, batches_dp,
+            victim.variables,
+        )
+        batches_sr = jnp.asarray(global_batches_from_local(plans, n_local))
+        d_sr, od_sr, v_sr, ov_sr, loss_sr, fool_sr = epoch_sr(
+            d_sr, od_sr, v_sr, ov_sr, images, labels, batches_sr,
+            victim.variables,
+        )
+        np.testing.assert_allclose(
+            float(loss_dp), float(loss_sr), rtol=1e-5, atol=1e-5
+        )
+        assert float(fool_dp) == float(fool_sr)
+        np.testing.assert_allclose(
+            np.asarray(d_dp), np.asarray(d_sr), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_dp), np.asarray(v_sr), atol=1e-5
+        )
