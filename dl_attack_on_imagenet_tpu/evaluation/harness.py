@@ -36,12 +36,20 @@ def expand_grid(*args) -> List[Dict[str, Any]]:
 
 
 def get_atks(victim: VictimModel, attack_cls, *grid_args, **kwargs) -> list:
-    """Instantiate one attack per hyper-combo (performance.py:40-48)."""
+    """Instantiate one attack per hyper-combo (performance.py:40-48).
+
+    Each instance records its swept combo on ``_grid_combo`` so
+    :func:`_attack_key` can name it by the hypers ACTUALLY swept (e.g. the
+    CW ``c`` grid, demo_dL_attack.py:129) instead of only the fixed attr
+    list — distinct combos within a group get distinct sub_names.
+    """
     atks = []
     for combo in expand_grid(*grid_args):
         kw = dict(kwargs)
         kw.update(combo)
-        atks.append(attack_cls(victim, **kw))
+        atk = attack_cls(victim, **kw)
+        atk._grid_combo = dict(combo)
+        atks.append(atk)
     return atks
 
 
@@ -119,9 +127,21 @@ def performance(attack, victim: VictimModel, data: Iterable, verbose: bool = Fal
 
 def _attack_key(name: str, atk) -> str:
     """Stable per-attack sub-name; specialized for ADiL like the reference
-    (performance.py:134-135) but defined for every attack."""
+    (performance.py:134-135) but defined for every attack.
+
+    Every hyper the grid actually swept (``_grid_combo``, recorded by
+    :func:`get_atks`) enters the key first, so e.g. the CW ``c``-grid row
+    (demo_dL_attack.py:129) yields distinct per-combo sub_names; the fixed
+    attr list then adds the classic identifiers without duplication.
+    """
     extras = []
+    seen = set()
+    for attr, val in getattr(atk, "_grid_combo", {}).items():
+        extras.append(f"{attr}_{val}")
+        seen.add(attr)
     for attr in ("n_atoms", "loss", "eps", "norm"):
+        if attr in seen:
+            continue
         if hasattr(atk, attr):
             extras.append(f"{attr}_{getattr(atk, attr)}")
         elif hasattr(atk, "cfg") and hasattr(atk.cfg, attr):
