@@ -8,9 +8,16 @@ authors' code; this is a from-the-paper implementation (Croce & Hein,
 attack", ICML 2019), TPU-first: each run is one jitted ``lax.fori_loop``;
 the per-candidate decision-boundary linearization uses a vmapped ``jacrev``
 (one lockstep jacobian instead of the reference code's per-class backward
-passes), and the paper's exact l∞ projection onto {hyperplane ∩ box} is a
-batched sort/cumsum waterfill (``linf_hyperplane_box_project``), vectorized
-over images × candidate classes.
+passes), and the paper's exact l∞ projection onto {hyperplane ∩ box} is
+solved per candidate by a BISECTION waterfill
+(``linf_hyperplane_box_project_t``): G(t) = Σ|w_i|·min(t, room_i) is
+monotone with t* ≤ 1 in the unit box, so 60 halvings pin t* past f32
+resolution using only elementwise ops + reductions. Candidate selection
+needs only t*, so per-candidate deltas are never materialized — peak HBM is
+the (n, K, d) jacobian, which is what lets the reference row (b64 × 9
+candidates × 150528 dims) run on one v5e; the exact sort/cumsum waterfill
+(``linf_hyperplane_box_project``) is kept as the small-shape reference
+implementation the tests cross-check against.
 
 Paper mechanics (Alg. 1 with the released defaults alpha_max=0.1, eta=1.05,
 beta=0.9):
@@ -72,11 +79,15 @@ def linf_hyperplane_box_project(x, w, hval):
     total = jnp.sum(a_s, axis=-1, keepdims=True)
     pre_a = jnp.cumsum(a_s, axis=-1)
     pre_ar = jnp.cumsum(a_s * jnp.where(jnp.isfinite(r_s), r_s, 0.0), axis=-1)
-    # G at knot k (finite knots only; +inf knots give G = +inf correctly
-    # via the remaining-slope term below when r_s is inf)
+    # G at knot k. Infinite-room knots (w_i == 0 coords, sorted last) cap G
+    # at pre_ar: for target > 0 every inf-room coordinate has |w_i| == 0
+    # (s == 0 with |w_i| > 0 needs hval == 0, and target == 0 reaches at
+    # knot 0 regardless), so the true remaining slope there is exactly zero.
+    # Computing it as total - pre_a and multiplying by the inf knot used to
+    # turn f32 cumsum residue into +inf, inverting unreachability whenever
+    # zero-weight coordinates existed.
     slope_after = total - pre_a
-    g_knot = pre_ar + slope_after * jnp.where(jnp.isfinite(r_s), r_s, jnp.inf)
-    g_knot = jnp.where(jnp.isnan(g_knot), jnp.inf, g_knot)  # 0 * inf guard
+    g_knot = pre_ar + jnp.where(jnp.isfinite(r_s), slope_after * r_s, 0.0)
 
     # first knot whose G >= target
     reach = g_knot >= target[..., None]
@@ -99,6 +110,52 @@ def linf_hyperplane_box_project(x, w, hval):
     delta = jnp.where((s != 0) & jnp.isfinite(move), s * move, 0.0)
     delta = jnp.where(jnp.isfinite(t[..., None]), delta, 0.0)
     return delta, t
+
+
+def linf_hyperplane_box_project_t(x, w, hval, iters: int = 60):
+    """Bisection twin of :func:`linf_hyperplane_box_project`, t* only.
+
+    G(t) = sum_i |w_i| min(t, room_i) is monotone nondecreasing with
+    t* <= max(room) <= 1 inside the unit box, so ``iters`` halvings of
+    [0, 1] pin t* past float32 resolution (2^-60). Memory-light by design:
+    every temporary is an ELEMENTWISE function of (x, w) followed by a
+    reduction — no sort, no cumsum, no index gather — so peak HBM stays at
+    the operands themselves. This is the production path for FAB at the
+    reference operating point (b64 × 9 candidates × 150528 dims), where the
+    sort/cumsum waterfill's value+index temporaries faulted the v5e
+    (BENCHMARKS.md round 4); the sort version remains the small-shape
+    reference implementation the tests cross-check.
+
+    Returns t* with +inf where the hyperplane is unreachable in the box.
+    """
+    a = jnp.abs(w)
+    s = -jnp.sign(hval)[..., None] * jnp.sign(w)
+    # w_i == 0 => s == 0 => room 0: contributes 0 to G either way (the sort
+    # version's inf-room convention is only needed to avoid capping G).
+    room = jnp.where(s > 0, 1.0 - x, jnp.where(s < 0, x, 0.0))
+    target = jnp.abs(hval)
+    gmax = jnp.sum(a * room, axis=-1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        g = jnp.sum(a * jnp.minimum(mid[..., None], room), axis=-1)
+        below = g < target
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo0 = jnp.zeros_like(target)
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo0, jnp.ones_like(target)))
+    t = jnp.where(target > 0, hi, 0.0)
+    return jnp.where(gmax >= target, t, jnp.inf)
+
+
+def linf_hyperplane_box_delta(x, w, hval, t):
+    """The projection step for a known t*: each coordinate moves against
+    sign(hval)·sign(w_i) by min(t*, room_i); zero where unreachable."""
+    s = -jnp.sign(hval)[..., None] * jnp.sign(w)
+    room = jnp.where(s > 0, 1.0 - x, jnp.where(s < 0, x, 0.0))
+    move = jnp.minimum(t[..., None], room)
+    return jnp.where((s != 0) & jnp.isfinite(t)[..., None], s * move, 0.0)
 
 
 def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
@@ -139,18 +196,22 @@ def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
         cands = cand_classes(logits)
         f, w = f_and_jac(x_i, cands)  # (n,K), (n,K,d)
 
-        xi_f = flat(x_i)[:, None, :]  # (n,1,d)
-        delta_i, t_i = linf_hyperplane_box_project(
-            jnp.broadcast_to(xi_f, w.shape), w, f)
-        # same linear model, projected from the ORIGINAL point
-        h_orig = f + jnp.sum(w * (flat(x)[:, None, :] - xi_f), axis=-1)
-        delta_o, t_o = linf_hyperplane_box_project(
-            jnp.broadcast_to(flat(x)[:, None, :], w.shape), w, h_orig)
+        # Candidate selection needs only t* per candidate (argmin of the
+        # iterate-projection distances); the bisection solver never builds a
+        # per-candidate delta, and the deltas below are computed for the
+        # WINNING candidate only — peak HBM stays at the jacobian itself.
+        xi_f = flat(x_i)  # (n,d)
+        t_i = linf_hyperplane_box_project_t(xi_f[:, None, :], w, f)  # (n,K)
 
         best_c = jnp.argmin(t_i, axis=-1)  # (n,)
         idx = jnp.arange(n)
-        d_i = delta_i[idx, best_c]  # (n,d)
-        d_o = delta_o[idx, best_c]
+        w_b = w[idx, best_c]  # (n,d)
+        f_b = f[idx, best_c]
+        d_i = linf_hyperplane_box_delta(xi_f, w_b, f_b, t_i[idx, best_c])
+        # same linear model, projected from the ORIGINAL point
+        h_b = f_b + jnp.sum(w_b * (flat(x) - xi_f), axis=-1)
+        t_o_b = linf_hyperplane_box_project_t(flat(x), w_b, h_b)
+        d_o = linf_hyperplane_box_delta(flat(x), w_b, h_b, t_o_b)
         ni = jnp.max(jnp.abs(d_i), axis=-1)
         no = jnp.max(jnp.abs(d_o), axis=-1)
         # infeasible projections (t=inf -> delta 0, norm 0): fall back to a

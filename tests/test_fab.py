@@ -78,6 +78,52 @@ class TestProjection:
             # boundary attained in the linear model
             assert abs(hval + float(w @ delta)) <= 5e-4 * max(1.0, abs(hval))
 
+    def test_bisection_twin_matches_sort_waterfill(self):
+        """The memory-light bisection solver (the production path at the
+        reference operating point) must agree with the exact sort/cumsum
+        waterfill: same t*, same delta — including infeasible (+inf) and
+        dead-coordinate cases."""
+        from dl_attack_on_imagenet_tpu.attacks.fab import (
+            linf_hyperplane_box_delta,
+            linf_hyperplane_box_project_t,
+        )
+
+        rng = np.random.default_rng(1)
+        n, k, d = 6, 4, 96
+        x = rng.random((n, k, d)).astype(np.float32)
+        w = rng.standard_normal((n, k, d)).astype(np.float32)
+        w[rng.random((n, k, d)) < 0.2] = 0.0
+        hval = (rng.standard_normal((n, k)) * 2).astype(np.float32)
+        hval[0, 0] = 0.0  # already on the hyperplane
+        hval[1, 1] = 1e4  # unreachable inside the box
+
+        delta_s, t_s = linf_hyperplane_box_project(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(hval))
+        t_b = linf_hyperplane_box_project_t(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(hval))
+        delta_b = linf_hyperplane_box_delta(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(hval), t_b)
+
+        t_s, t_b = np.asarray(t_s), np.asarray(t_b)
+        # Feasibility can legitimately flip under f32 reduction order when
+        # target == G_max within rounding (the hyperplane exactly grazes the
+        # box corner); exempt those knife-edge elements, assert the rest.
+        a64, room64 = np.abs(w).astype(np.float64), np.where(
+            -np.sign(hval)[..., None] * np.sign(w) > 0, 1.0 - x,
+            np.where(-np.sign(hval)[..., None] * np.sign(w) < 0, x, 0.0),
+        ).astype(np.float64)
+        gmax = (a64 * room64).sum(-1)
+        knife_edge = np.abs(gmax - np.abs(hval)) <= 1e-4 * np.abs(hval)
+        finite = np.isfinite(t_s)
+        np.testing.assert_array_equal(
+            finite[~knife_edge], np.isfinite(t_b)[~knife_edge])
+        ok = finite & np.isfinite(t_b)
+        np.testing.assert_allclose(t_b[ok], t_s[ok], rtol=1e-5, atol=1e-6)
+        both = ok[..., None] & np.ones_like(w, bool)
+        np.testing.assert_allclose(
+            np.asarray(delta_b)[both], np.asarray(delta_s)[both],
+            rtol=1e-5, atol=1e-6)
+
     def test_infeasible_and_zero_cases(self):
         x = jnp.full((1, 8), 0.5)
         w = jnp.ones((1, 8))

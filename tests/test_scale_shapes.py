@@ -89,8 +89,11 @@ class TestFABWaterfill:
 
     def test_fab_run_jacobian_is_the_largest_intermediate(self):
         """A full FAB body at the reference row (steps fori_loop, jacrev
-        per candidate) holds at most the (n, K, d) jacobian (+small
-        constant factor for the waterfill pairs) — nothing O(d²)."""
+        per candidate, bisection waterfill) holds at most the (n, K, d)
+        jacobian plus one elementwise temporary — per-candidate deltas are
+        never materialized and nothing is O(d²). The v5e device fault this
+        bound guards against: the sort/cumsum waterfill's value+index
+        temporaries at (64, 9, 150528) (BENCHMARKS.md round 4)."""
         from dl_attack_on_imagenet_tpu.attacks.fab import _fab_run
 
         n, k = 8, 9  # smaller n: jacrev tracing is host-RAM heavy
@@ -104,7 +107,7 @@ class TestFABWaterfill:
             )
         )(variables, img, lab, img, lab)
         jac_bytes = n * k * D224 * 4
-        assert max_intermediate_bytes(jaxpr) <= 4 * jac_bytes
+        assert max_intermediate_bytes(jaxpr) <= 2 * jac_bytes
 
 
 class TestSquareSchedule:
