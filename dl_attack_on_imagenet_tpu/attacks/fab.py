@@ -8,14 +8,16 @@ authors' code; this is a from-the-paper implementation (Croce & Hein,
 attack", ICML 2019), TPU-first: each run is one jitted ``lax.fori_loop``;
 the per-candidate decision-boundary linearization uses a vmapped ``jacrev``
 (one lockstep jacobian instead of the reference code's per-class backward
-passes), and the paper's exact l∞ projection onto {hyperplane ∩ box} is
-solved per candidate by a BISECTION waterfill
+passes). The candidate class is selected by the released code's
+unconstrained dual-norm distance |f_l|/‖w_l‖₁ (one reduction over the
+jacobian), and the paper's exact l∞ projection onto {hyperplane ∩ box} is
+then solved for the winner only, by a safeguarded-NEWTON waterfill
 (``linf_hyperplane_box_project_t``): G(t) = Σ|w_i|·min(t, room_i) is
-monotone with t* ≤ 1 in the unit box, so 60 halvings pin t* past f32
-resolution using only elementwise ops + reductions. Candidate selection
-needs only t*, so per-candidate deltas are never materialized — peak HBM is
-the (n, K, d) jacobian, which is what lets the reference row (b64 × 9
-candidates × 150528 dims) run on one v5e; the exact sort/cumsum waterfill
+concave piecewise-linear, so Newton from 0 converges monotonically from
+below and lands exactly, using only elementwise ops + reductions. No
+per-candidate deltas are ever materialized — peak HBM is the (n, K, d)
+jacobian, which is what lets the reference row (b64 × 9 candidates ×
+150528 dims) run on one v5e; the exact sort/cumsum waterfill
 (``linf_hyperplane_box_project``) is kept as the small-shape reference
 implementation the tests cross-check against.
 
@@ -112,16 +114,19 @@ def linf_hyperplane_box_project(x, w, hval):
     return delta, t
 
 
-def linf_hyperplane_box_project_t(x, w, hval, iters: int = 60):
-    """Bisection twin of :func:`linf_hyperplane_box_project`, t* only.
+def linf_hyperplane_box_project_t(x, w, hval, max_iters: int = 64):
+    """Newton twin of :func:`linf_hyperplane_box_project`, t* only.
 
-    G(t) = sum_i |w_i| min(t, room_i) is monotone nondecreasing with
-    t* <= max(room) <= 1 inside the unit box, so ``iters`` halvings of
-    [0, 1] pin t* past float32 resolution (2^-60). Memory-light by design:
-    every temporary is an ELEMENTWISE function of (x, w) followed by a
-    reduction — no sort, no cumsum, no index gather — so peak HBM stays at
-    the operands themselves. This is the production path for FAB at the
-    reference operating point (b64 × 9 candidates × 150528 dims), where the
+    G(t) = sum_i |w_i| min(t, room_i) is CONCAVE piecewise-linear and
+    nondecreasing, so safeguarded Newton from t=0 converges to t*
+    monotonically from below (the tangent at any t < t* over-estimates G,
+    so each update stays <= t*) and lands EXACTLY once the iterate enters
+    t*'s final linear segment — each step crosses at least one knot, and in
+    practice converges in < 10 iterations (``max_iters`` is a traced-loop
+    safety cap). Memory-light by design: every temporary is an ELEMENTWISE
+    function of (x, w) followed by a reduction — no sort, no cumsum, no
+    index gather — so peak HBM stays at the operands themselves. This is
+    the production path for FAB at the reference operating point, where the
     sort/cumsum waterfill's value+index temporaries faulted the v5e
     (BENCHMARKS.md round 4); the sort version remains the small-shape
     reference implementation the tests cross-check.
@@ -135,18 +140,26 @@ def linf_hyperplane_box_project_t(x, w, hval, iters: int = 60):
     room = jnp.where(s > 0, 1.0 - x, jnp.where(s < 0, x, 0.0))
     target = jnp.abs(hval)
     gmax = jnp.sum(a * room, axis=-1)
+    feasible = gmax >= target
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        g = jnp.sum(a * jnp.minimum(mid[..., None], room), axis=-1)
-        below = g < target
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+    def cond(carry):
+        i, t, active = carry
+        return (i < max_iters) & jnp.any(active)
 
-    lo0 = jnp.zeros_like(target)
-    _, hi = jax.lax.fori_loop(0, iters, body, (lo0, jnp.ones_like(target)))
-    t = jnp.where(target > 0, hi, 0.0)
-    return jnp.where(gmax >= target, t, jnp.inf)
+    def body(carry):
+        i, t, _ = carry
+        te = t[..., None]
+        # one fused pass over (a, room): value + right-derivative of G
+        g = jnp.sum(a * jnp.minimum(te, room), axis=-1)
+        gp = jnp.sum(jnp.where(room > te, a, 0.0), axis=-1)
+        step = jnp.where(feasible,
+                         jnp.maximum((target - g), 0.0)
+                         / jnp.maximum(gp, 1e-30), 0.0)
+        return i + 1, t + step, step > 0
+
+    _, t, _ = jax.lax.while_loop(
+        cond, body, (0, jnp.zeros_like(target), feasible))
+    return jnp.where(feasible, t, jnp.inf)
 
 
 def linf_hyperplane_box_delta(x, w, hval, t):
@@ -171,7 +184,7 @@ def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
 
     def cand_classes(logits):
         if targeted:
-            return targets[:, None]  # (n, 1)
+            return targets[:, None]  # (n, 1) — logits unused (None passed)
         masked = jnp.where(
             jax.nn.one_hot(labels, logits.shape[-1], dtype=bool),
             -jnp.inf, logits)
@@ -192,22 +205,33 @@ def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
 
     def body(_, carry):
         x_i, x_best, d_best, found = carry
-        logits = logits_of(x_i)
-        cands = cand_classes(logits)
+        # Targeted mode never reads the iterate's logits (the candidate set
+        # IS the target), so the ranking forward exists only untargeted.
+        # XLA already DCE'd the dead forward (FAB-T re-measured flat at
+        # 13.1 s/batch either way, BENCHMARKS.md round 4) — tracing it only
+        # untargeted just makes the 2-fwd-1-bwd targeted step explicit.
+        cands = cand_classes(logits_of(x_i)) if not targeted \
+            else cand_classes(None)
         f, w = f_and_jac(x_i, cands)  # (n,K), (n,K,d)
 
-        # Candidate selection needs only t* per candidate (argmin of the
-        # iterate-projection distances); the bisection solver never builds a
-        # per-candidate delta, and the deltas below are computed for the
-        # WINNING candidate only — peak HBM stays at the jacobian itself.
+        # Candidate selection: the released FAB code picks the closest
+        # linearized boundary by the UNCONSTRAINED dual-norm distance
+        # |f_l| / ||w_l||_1 (l∞ point-to-hyperplane duality; torchattacks
+        # fab.py `dist1 = df.abs() / dg.abs().sum(...)`), NOT by the
+        # box-projected distance — so the exact hyperplane∩box waterfill is
+        # needed only for the WINNING candidate. One ||w||_1 reduction over
+        # the (n, K, d) jacobian replaces a 60-pass bisection over it; peak
+        # HBM stays at the jacobian itself.
         xi_f = flat(x_i)  # (n,d)
-        t_i = linf_hyperplane_box_project_t(xi_f[:, None, :], w, f)  # (n,K)
+        dist1 = jnp.abs(f) / jnp.maximum(
+            jnp.sum(jnp.abs(w), axis=-1), 1e-12)  # (n,K)
 
-        best_c = jnp.argmin(t_i, axis=-1)  # (n,)
+        best_c = jnp.argmin(dist1, axis=-1)  # (n,)
         idx = jnp.arange(n)
         w_b = w[idx, best_c]  # (n,d)
         f_b = f[idx, best_c]
-        d_i = linf_hyperplane_box_delta(xi_f, w_b, f_b, t_i[idx, best_c])
+        t_i_b = linf_hyperplane_box_project_t(xi_f, w_b, f_b)
+        d_i = linf_hyperplane_box_delta(xi_f, w_b, f_b, t_i_b)
         # same linear model, projected from the ORIGINAL point
         h_b = f_b + jnp.sum(w_b * (flat(x) - xi_f), axis=-1)
         t_o_b = linf_hyperplane_box_project_t(flat(x), w_b, h_b)
