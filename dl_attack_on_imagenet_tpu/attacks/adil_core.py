@@ -534,7 +534,11 @@ def supervised_ddrague(
     images_c = images.astype(jnp.bfloat16) if mixed else images
 
     def loss_fn(z):
-        v = codes_from_pinv(z, d_pinv)
+        # In-loop read-off: the z eps-clamp (not v) carries this solver's
+        # only budget semantics, so the mixed path runs BOTH contractions in
+        # bf16 (master z stays fp32); the final read-off below stays HIGHEST.
+        v = codes_from_pinv(
+            z, d_pinv, compute_dtype=jnp.bfloat16 if mixed else None)
         dv = dict_apply(
             v, d, compute_dtype=jnp.bfloat16 if mixed else None
         ).reshape(images.shape)

@@ -48,15 +48,20 @@ def dict_apply(v: jax.Array, d: jax.Array, compute_dtype=None) -> jax.Array:
     Reference: adil.py:25 (``torch.tensordot(self.v[index,:], self.d,
     dims=([1],[3]))``).
     """
-    k = d.shape[0]
-    d_flat = d.reshape(k, -1)
     if compute_dtype is not None:
-        dv = jnp.dot(v.astype(compute_dtype), d_flat.astype(compute_dtype))
+        v, d = v.astype(compute_dtype), d.astype(compute_dtype)
+        precision, out_dtype = None, compute_dtype
     else:
-        dv = jnp.dot(v, d_flat, precision=_PRECISION, preferred_element_type=jnp.float32)
+        precision, out_dtype = _PRECISION, jnp.float32
     if d.ndim > 2:
-        return dv.reshape((v.shape[0],) + d.shape[1:])
-    return dv
+        # Contract over the atom axis directly (image-shaped output, no
+        # flatten): reshaping the (N, M) matmul result back to NHWC forced a
+        # relayout copy per call inside conv-layout loops (BENCHMARKS.md
+        # round 4, DDrague per-op trace).
+        return jax.lax.dot_general(
+            v, d, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=out_dtype)
+    return jnp.dot(v, d, precision=precision, preferred_element_type=out_dtype)
 
 
 def dict_gram(d: jax.Array) -> jax.Array:
@@ -91,10 +96,38 @@ def dict_pinv(d: jax.Array, ridge: float = 0.0) -> jax.Array:
     return jnp.dot(gram_inv, d_flat, precision=_PRECISION, preferred_element_type=jnp.float32)
 
 
-def codes_from_pinv(z: jax.Array, d_pinv: jax.Array) -> jax.Array:
+def codes_from_pinv(z: jax.Array, d_pinv: jax.Array, compute_dtype=None) -> jax.Array:
     """v = z · D†ᵀ for image-shaped z (N, H, W, C) (or (N, M)).
+
+    ``compute_dtype`` follows the :func:`dict_apply` contract: None runs the
+    contraction in true fp32 (HIGHEST — the default, and required wherever
+    the codes feed a budget guarantee or a reference-parity trajectory); a
+    dtype (e.g. ``jnp.bfloat16``) runs it in that dtype for mixed-precision
+    INNER loops whose master state stays fp32 (DDrague's in-loop read-off —
+    the z eps-clamp, not v, carries that solver's only budget semantics,
+    adil.py:536-541).
+
+    Image-shaped z contracts over the image axes directly (one dot_general,
+    ``d_pinv`` reshaped to z's trailing shape) instead of flattening z: the
+    flatten forced XLA to materialize a relayout copy of the loop-carried
+    NHWC z (and of its gradient) every solver iteration — ~1 ms/iter at the
+    production (64, 112, 112, 12) shape (BENCHMARKS.md round 4, DDrague
+    per-op trace).
 
     Reference: adil.py:534 (``v = torch.tensordot(z, d_drg, dims=([1,2,3],[1,2,3]))``).
     """
-    z_flat = z.reshape(z.shape[0], -1)
-    return jnp.dot(z_flat, d_pinv.T, precision=_PRECISION, preferred_element_type=jnp.float32)
+    if compute_dtype is not None:
+        z, d_pinv = z.astype(compute_dtype), d_pinv.astype(compute_dtype)
+        precision = None
+        out_dtype = compute_dtype
+    else:
+        precision = _PRECISION
+        out_dtype = jnp.float32
+    if z.ndim > 2:
+        d_img = d_pinv.reshape((d_pinv.shape[0],) + z.shape[1:])
+        axes = tuple(range(1, z.ndim))
+        return jax.lax.dot_general(
+            z, d_img, (((axes), (axes)), ((), ())),
+            precision=precision, preferred_element_type=out_dtype)
+    return jnp.dot(z, d_pinv.T, precision=precision,
+                   preferred_element_type=out_dtype)
