@@ -34,7 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--blob", default=None, help="npz blob from cli.dataset")
     p.add_argument("--out-dir", default="./adv_out")
     p.add_argument("--dict-dir", default="trained_dicts")
-    p.add_argument("--batch-size", type=int, default=64)
+    # Measured serving optimum on the v5e (benchmarks/batch_scaling.py:
+    # DDrague 160.6 img/s at b128 vs 133.1 at b64; training peaks at b128
+    # too) — the reference hardcodes bs=100 (adil.py:130).
+    p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--mode", default="supervised",
                    choices=["supervised", "unsupervised"])
