@@ -54,6 +54,42 @@ class TestDictApply:
         v_rec = codes_from_pinv(z, dict_pinv(d))
         np.testing.assert_allclose(np.asarray(v_rec), np.asarray(v_true), atol=1e-3)
 
+    def test_codes_from_pinv_flat_matches_image_shaped(self, rng):
+        # The image-shaped path contracts over the image axes directly (no
+        # flatten — the round-4 relayout fix); it must agree exactly with
+        # feeding the same z pre-flattened.
+        k1, k2 = jax.random.split(rng)
+        d = jax.random.normal(k1, (6, 8, 8, 3))
+        z = jax.random.normal(k2, (3, 8, 8, 3))
+        dp = dict_pinv(d)
+        img = codes_from_pinv(z, dp)
+        flat = codes_from_pinv(z.reshape(3, -1), dp)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(flat), atol=1e-5)
+
+    def test_codes_from_pinv_compute_dtype(self, rng):
+        # compute_dtype follows the dict_apply contract: bf16 inner loops
+        # (DDrague's in-loop read-off) get a bf16 contraction + output; the
+        # result must track the fp32 one within bf16 resolution.
+        k1, k2 = jax.random.split(rng)
+        d = jax.random.normal(k1, (6, 8, 8, 3))
+        z = jax.random.normal(k2, (3, 8, 8, 3))
+        dp = dict_pinv(d)
+        lo = codes_from_pinv(z, dp, compute_dtype=jnp.bfloat16)
+        hi = codes_from_pinv(z, dp)
+        assert lo.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(hi))) + 1e-9
+        assert float(jnp.max(jnp.abs(lo.astype(jnp.float32) - hi))) / scale < 0.05
+
+    def test_dict_apply_compute_dtype(self, rng):
+        k1, k2 = jax.random.split(rng)
+        d = jax.random.normal(k1, (8, 5, 5, 3))
+        v = jax.random.normal(k2, (4, 8))
+        lo = dict_apply(v, d, compute_dtype=jnp.bfloat16)
+        hi = dict_apply(v, d)
+        assert lo.dtype == jnp.bfloat16 and lo.shape == hi.shape
+        scale = float(jnp.max(jnp.abs(hi))) + 1e-9
+        assert float(jnp.max(jnp.abs(lo.astype(jnp.float32) - hi))) / scale < 0.05
+
 
 class TestLosses:
     def test_cw_margin_untargeted(self):
