@@ -63,6 +63,7 @@ def main(only=(), victim_name="resnet18", batch=64):
         APGDT,
         BIM,
         CW,
+        DeepFool,
         DIFGSM,
         EOTPGD,
         FAB,
@@ -98,6 +99,9 @@ def main(only=(), victim_name="resnet18", batch=64):
     results = {}
 
     def record(tag, payload):
+        # per-row batch: subset runs merge into an existing file, so the
+        # row must carry its own operating point (review finding, round 4)
+        payload = {"batch": batch, **payload}
         results[tag] = payload
         print(json.dumps({"bench": tag, **payload}), flush=True)
 
@@ -152,6 +156,8 @@ def main(only=(), victim_name="resnet18", batch=64):
     run("difgsm", lambda: DIFGSM(victim, eps=EPS, alpha=a, steps=100,
                                  diversity_prob=0.5, resize_rate=0.9),
         note="steps=100 p=0.5 rr=0.9 (demo:106)")
+    run("deepfool", lambda: DeepFool(victim, steps=100), iters=1,
+        note="steps=100, top-10 boundary linearization (demo:128)")
 
     # --- CW c-grid (demo:129): np.logspace(-1, 4, 5), steps=100, lr=0.001.
     # c is a traced arg, so the whole grid shares ONE compile.

@@ -80,13 +80,16 @@ def main(victim_name="resnet50"):
         # DDrague serving (attack_family_bench protocol, <=30 iters).
         d = jax.random.uniform(jax.random.PRNGKey(5), (K, SIZE, SIZE, 3),
                                minval=-1, maxval=1)
-        dd = jax.jit(lambda d_, img: core.supervised_ddrague(
-            apply_fn, variables, d_, img, cfg))
-        adv = dd(d, x)
+        # variables as a jit ARGUMENT, not a closure constant: baked-in
+        # params exceed the axon remote-compile request size for the big
+        # victims (HTTP 413 — see zoo_infer_bench.py).
+        dd = jax.jit(lambda vars_, d_, img: core.supervised_ddrague(
+            apply_fn, vars_, d_, img, cfg))
+        adv = dd(variables, d, x)
         jax.block_until_ready(adv)
         t0 = time.perf_counter()
         for _ in range(3):
-            adv = dd(d, x)
+            adv = dd(variables, d, x)
             jax.block_until_ready(adv)
         dt_dd = (time.perf_counter() - t0) / 3
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import collections
+import functools
 import glob
 import os
 import sys
@@ -195,9 +196,12 @@ def build_ddrague(batch=64, model="resnet50", size=224, iters=30):
         x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3))
         d = jax.random.uniform(jax.random.PRNGKey(5), (100, size, size, 3),
                                minval=-1, maxval=1)
-    fn = jax.jit(lambda d_, img: core.supervised_ddrague(
-        victim.apply_fn, victim.variables, d_, img, cfg))
-    return fn, d, x
+    # variables as a jit ARGUMENT, not a closure constant: baked-in params
+    # exceed the axon remote-compile request size for the big victims
+    # (HTTP 413 — see zoo_infer_bench.py).
+    fn = jax.jit(lambda vars_, d_, img: core.supervised_ddrague(
+        victim.apply_fn, vars_, d_, img, cfg))
+    return functools.partial(fn, victim.variables), d, x
 
 
 def main():

@@ -120,10 +120,14 @@ def linf_hyperplane_box_project_t(x, w, hval, max_iters: int = 64):
     G(t) = sum_i |w_i| min(t, room_i) is CONCAVE piecewise-linear and
     nondecreasing, so safeguarded Newton from t=0 converges to t*
     monotonically from below (the tangent at any t < t* over-estimates G,
-    so each update stays <= t*) and lands EXACTLY once the iterate enters
-    t*'s final linear segment — each step crosses at least one knot, and in
-    practice converges in < 10 iterations (``max_iters`` is a traced-loop
-    safety cap). Memory-light by design: every temporary is an ELEMENTWISE
+    so each update stays <= t*); in exact arithmetic it lands exactly once
+    the iterate enters t*'s final linear segment, and in f32 a relative
+    stopping rule (step <= 1e-6·t) ends the loop once the iterate is
+    converged past the twin-test tolerance — without it, rows whose target
+    sits at the f32 reduction's noise floor dither in tiny positive steps
+    to the ``max_iters`` safety cap, and one such row in a batch drags
+    every row's wall time with it. Typical convergence is < 10 iterations.
+    Memory-light by design: every temporary is an ELEMENTWISE
     function of (x, w) followed by a reduction — no sort, no cumsum, no
     index gather — so peak HBM stays at the operands themselves. This is
     the production path for FAB at the reference operating point, where the
@@ -155,7 +159,8 @@ def linf_hyperplane_box_project_t(x, w, hval, max_iters: int = 64):
         step = jnp.where(feasible,
                          jnp.maximum((target - g), 0.0)
                          / jnp.maximum(gp, 1e-30), 0.0)
-        return i + 1, t + step, step > 0
+        t_new = t + step
+        return i + 1, t_new, step > 1e-6 * t_new
 
     _, t, _ = jax.lax.while_loop(
         cond, body, (0, jnp.zeros_like(target), feasible))
@@ -230,16 +235,22 @@ def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
         idx = jnp.arange(n)
         w_b = w[idx, best_c]  # (n,d)
         f_b = f[idx, best_c]
-        t_i_b = linf_hyperplane_box_project_t(xi_f, w_b, f_b)
+        # Box-unreachable winner (t* = inf): saturate every coordinate
+        # toward the boundary (t capped at 1 >= all rooms in the unit box)
+        # instead of freezing with delta = 0 — the released code's
+        # Lagrangian projection has no infeasibility branch and yields
+        # exactly this saturating point, and since the dual-norm selection
+        # does not screen for box feasibility, a frozen iterate would
+        # otherwise re-select the same candidate forever.
+        cap = lambda t: jnp.where(jnp.isfinite(t), t, 1.0)
+        t_i_b = cap(linf_hyperplane_box_project_t(xi_f, w_b, f_b))
         d_i = linf_hyperplane_box_delta(xi_f, w_b, f_b, t_i_b)
         # same linear model, projected from the ORIGINAL point
         h_b = f_b + jnp.sum(w_b * (flat(x) - xi_f), axis=-1)
-        t_o_b = linf_hyperplane_box_project_t(flat(x), w_b, h_b)
+        t_o_b = cap(linf_hyperplane_box_project_t(flat(x), w_b, h_b))
         d_o = linf_hyperplane_box_delta(flat(x), w_b, h_b, t_o_b)
         ni = jnp.max(jnp.abs(d_i), axis=-1)
         no = jnp.max(jnp.abs(d_o), axis=-1)
-        # infeasible projections (t=inf -> delta 0, norm 0): fall back to a
-        # pure original-step (alpha -> alpha_max keeps the iterate moving)
         alpha = jnp.clip(ni / jnp.maximum(ni + no, 1e-12), 0.0, ALPHA_MAX)
 
         x_new = (1.0 - alpha)[:, None] * (flat(x_i) + ETA * d_i) \

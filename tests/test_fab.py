@@ -78,11 +78,11 @@ class TestProjection:
             # boundary attained in the linear model
             assert abs(hval + float(w @ delta)) <= 5e-4 * max(1.0, abs(hval))
 
-    def test_bisection_twin_matches_sort_waterfill(self):
-        """The memory-light bisection solver (the production path at the
-        reference operating point) must agree with the exact sort/cumsum
-        waterfill: same t*, same delta — including infeasible (+inf) and
-        dead-coordinate cases."""
+    def test_newton_twin_matches_sort_waterfill(self):
+        """The memory-light safeguarded-Newton solver (the production path
+        at the reference operating point) must agree with the exact
+        sort/cumsum waterfill: same t*, same delta — including infeasible
+        (+inf) and dead-coordinate cases."""
         from dl_attack_on_imagenet_tpu.attacks.fab import (
             linf_hyperplane_box_delta,
             linf_hyperplane_box_project_t,
@@ -135,6 +135,32 @@ class TestProjection:
         delta0, t0 = linf_hyperplane_box_project(x, w, jnp.asarray([0.0]))
         assert float(t0[0]) == 0.0
         assert float(jnp.max(jnp.abs(delta0))) == 0.0
+
+    def test_infeasible_winner_saturates_not_freezes(self):
+        """The run's call-site fallback for a box-unreachable winning
+        boundary: capping t* at 1 (>= every room in the unit box) must
+        yield the fully saturated move toward the hyperplane — the
+        released code's Lagrangian projection has no infeasibility branch
+        and returns exactly this point. A delta of 0 there would freeze
+        the iterate on the same candidate forever (round-4 review fix)."""
+        from dl_attack_on_imagenet_tpu.attacks.fab import (
+            linf_hyperplane_box_delta,
+            linf_hyperplane_box_project_t,
+        )
+
+        x = jnp.asarray([[0.25, 0.5, 0.9, 0.0]])
+        w = jnp.asarray([[1.0, -2.0, 0.5, 1.0]])
+        hval = jnp.asarray([100.0])  # unreachable: G_max << 100
+        t = linf_hyperplane_box_project_t(x, w, hval)
+        assert not bool(jnp.isfinite(t[0]))
+        t_cap = jnp.where(jnp.isfinite(t), t, 1.0)
+        delta = linf_hyperplane_box_delta(x, w, hval, t_cap)
+        # every coordinate moves against sign(h)*sign(w) by its full room
+        s = -jnp.sign(hval)[:, None] * jnp.sign(w)
+        room = jnp.where(s > 0, 1.0 - x, jnp.where(s < 0, x, 0.0))
+        np.testing.assert_allclose(np.asarray(delta), np.asarray(s * room),
+                                   atol=1e-7)
+        assert float(jnp.max(jnp.abs(delta))) > 0.0
 
 
 class TestFAB:

@@ -150,11 +150,6 @@ class TestOnePixelPopulation:
         (pixels=5, RGB): dims=25, popmul=max(1, 10//25)=1 -> pop=25."""
         from dl_attack_on_imagenet_tpu.attacks.one_pixel import OnePixel
 
-        class _V:  # population() only reads pixels/popsize
-            name = "stub"
-            apply_fn = None
-            variables = None
-
         atk = OnePixel.__new__(OnePixel)
         atk.pixels, atk.popsize = 5, 10
         assert atk.population(3) == 25
