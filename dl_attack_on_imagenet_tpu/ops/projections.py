@@ -150,13 +150,27 @@ def project_atoms(d: jax.Array, constraint: str = "l2ball") -> jax.Array:
     Each atom (row k) is projected independently:
       - 'l2sphere': ||d_k||_2 = 1
       - 'l2ball':   ||d_k||_2 <= 1
-      - 'l1ball':   ||d_k||_1 <= 1
+      - 'l1ball':   each CHANNEL of d_k onto the unit l1 ball
 
     Reference: attacks/utils.py:44-57 (``constraint_dict``; note the reference
     stores atoms on the LAST axis (C,H,W,K) and loops in Python — here atoms
-    lead and the projection is batched).
+    lead and the projection is batched). The l1ball branch calls
+    ``project_onto_l1_ball(d[:, :, :, ind], eps=1)`` on a (C, H, W) slice,
+    whose row view is PER-CHANNEL (utils.py:31-32) — so each (atom, channel)
+    plane is projected to l1 <= 1, not the whole atom (executed-reference
+    parity, tests/test_reference_exec_utils.py). A 2-D (K, M) input has no
+    channel structure and keeps the whole-row projection (documented
+    deviation; no reference path reaches l1ball with flat atoms).
     """
     k = d.shape[0]
+    if constraint == "l1ball" and d.ndim == 4:
+        kk, h, w, c = d.shape
+        rows = d.transpose(0, 3, 1, 2).reshape(kk * c, h * w)
+        if rows.shape[1] > 4096:
+            out = l1_ball_project_bisect(rows, 1.0)
+        else:
+            out = l1_ball_project(rows, 1.0)
+        return out.reshape(kk, c, h, w).transpose(0, 2, 3, 1)
     flat = d.reshape(k, -1)
     if constraint == "l2sphere":
         out = l2_sphere_project(flat, 1.0, axis=1)

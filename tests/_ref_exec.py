@@ -1,0 +1,151 @@
+"""Make the reference's OWN code executable and importable for parity tests.
+
+The reference at /root/reference is runnable in this environment except for
+two import-time blockers (VERDICT round 4, missing #1):
+
+  * ``torchattacks.attack.Attack`` — the base class every attack subclasses
+    (attacks/utils.py:4). Stubbed here with the minimal surface the
+    reference actually touches: ``.model``, ``.device``, ``._targeted``,
+    and ``__call__ -> forward`` dispatch (the torchattacks v3 contract).
+  * ``hostlist`` + SLURM env vars — env_setting.py:10-16 reads them at
+    import time and adil.py:12 imports env_setting unconditionally
+    (SURVEY.md §2.4). Stubbed with a single-host topology.
+
+Everything else (torch CPU, scipy, tqdm, PIL) is installed, so the
+reference modules below run their ACTUAL lines. Tests import through
+:func:`load_reference` and compare repo outputs against these executions —
+upgrading the parity story from "independent oracle of the same algorithm"
+to "the reference's own code agrees" (PARITY.md, executed-reference audit).
+"""
+
+import contextlib
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+_SLURM_ENV = {
+    "SLURM_JOB_NODELIST": "localhost",
+    "SLURM_STEP_GPUS": "0",
+    "SLURM_NTASKS": "1",
+    "SLURM_JOB_NUM_NODES": "1",
+    "SLURM_PROCID": "0",
+    "SLURM_LOCALID": "0",
+}
+
+
+def _install_stubs():
+    import torch
+
+    if "torchattacks" not in sys.modules:
+        ta = types.ModuleType("torchattacks")
+        atk_mod = types.ModuleType("torchattacks.attack")
+
+        class Attack:
+            """Minimal torchattacks.attack.Attack: exactly the attributes
+            the reference reads (adil.py:68/:104/:109, utils.py:4)."""
+
+            def __init__(self, name, model):
+                self.attack = name
+                self.model = model
+                try:
+                    self.device = next(model.parameters()).device
+                except (StopIteration, AttributeError):
+                    self.device = torch.device("cpu")
+                self._targeted = False
+
+            def __call__(self, *args, **kwargs):
+                return self.forward(*args, **kwargs)
+
+        atk_mod.Attack = Attack
+        ta.attack = atk_mod
+        sys.modules["torchattacks"] = ta
+        sys.modules["torchattacks.attack"] = atk_mod
+
+    # torch removed zero_gradients in 1.9; fast_uap.py:12 / deepfool.py:5
+    # still import it. Restore the historical behavior (zero .grad in place).
+    # NB: ``torch.autograd.gradcheck`` as an attribute resolves to a
+    # different object than the submodule; import it by module path.
+    import importlib
+
+    _gradcheck = importlib.import_module("torch.autograd.gradcheck")
+
+    if not hasattr(_gradcheck, "zero_gradients"):
+
+        def zero_gradients(x):
+            if isinstance(x, torch.Tensor):
+                if x.grad is not None:
+                    x.grad.detach_()
+                    x.grad.zero_()
+            elif isinstance(x, (tuple, list)):
+                for elem in x:
+                    zero_gradients(elem)
+
+        _gradcheck.zero_gradients = zero_gradients
+
+    if "hostlist" not in sys.modules:
+        hl = types.ModuleType("hostlist")
+        hl.expand_hostlist = lambda spec: [s for s in spec.split(",") if s]
+        sys.modules["hostlist"] = hl
+
+    for key, val in _SLURM_ENV.items():
+        os.environ.setdefault(key, val)
+
+
+def load_reference():
+    """Import and return the reference's own modules (executed, not read).
+
+    Returns a namespace with ``utils`` (attacks/utils.py), ``adilr``
+    (attacks_classes/adil_regularized.py), ``adil``
+    (attacks_classes/adil.py), and ``performance`` (performance.py).
+    """
+    _install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import attacks.utils as ref_utils  # noqa: reference module
+    import attacks.attacks_classes.adil_regularized as ref_adilr
+    import attacks.attacks_classes.adil as ref_adil
+    import performance as ref_performance
+
+    return types.SimpleNamespace(
+        utils=ref_utils,
+        adilr=ref_adilr,
+        adil=ref_adil,
+        performance=ref_performance,
+    )
+
+
+@contextlib.contextmanager
+def torch_f64():
+    """Run a reference call with torch's default dtype set to float64 so its
+    internal ``torch.rand``/``torch.zeros``/``torch.eye`` allocations match
+    f64 inputs (the reference itself never sets dtypes)."""
+    import torch
+
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(prev)
+
+
+class IndexedDataset:
+    """The reference's ``Subset_I.indexed`` contract (imagenet_loading.py:8-18):
+    a dataset whose __getitem__ yields (i, x, y) when ``indexed`` is True and
+    (x, y) otherwise — required by ADIL.learn_dictionary_* which toggles the
+    flag (adil.py:117/:129)."""
+
+    def __init__(self, images, labels):
+        self.images = images
+        self.labels = labels
+        self.indexed = False
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        if self.indexed:
+            return i, self.images[i], self.labels[i]
+        return self.images[i], self.labels[i]

@@ -43,7 +43,9 @@ def test_zero_rows(rng):
 
 
 def test_project_atoms_l1_long_uses_bisect(rng):
-    d = jax.random.normal(rng, (3, 64, 64, 3)) * 2  # rows of 12288 > 4096
+    d = jax.random.normal(rng, (3, 64, 64, 3)) * 2  # channel rows 4096 -> 64*64
     out = project_atoms(d, "l1ball")
-    norms = jnp.sum(jnp.abs(out.reshape(3, -1)), axis=1)
+    # per-CHANNEL l1 balls (reference constraint_dict row view,
+    # utils.py:31-32, :56 — see test_reference_exec_utils.py)
+    norms = jnp.sum(jnp.abs(out), axis=(1, 2))  # (K, C)
     assert bool(jnp.all(norms <= 1.0 + 1e-3))

@@ -139,10 +139,17 @@ class TestAtomProjections:
         np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-5)
 
     def test_l1ball_atoms(self, rng):
+        # per-CHANNEL l1 balls — the reference's constraint_dict l1ball
+        # row view (utils.py:31-32, :56), pinned by executing the
+        # reference's own code in test_reference_exec_utils.py
         d = jax.random.normal(rng, (7, 4, 4, 3)) * 5
         out = project_atoms(d, "l1ball")
-        norms = jnp.sum(jnp.abs(out.reshape(7, -1)), axis=1)
+        norms = jnp.sum(jnp.abs(out), axis=(1, 2))  # (K, C)
         assert bool(jnp.all(norms <= 1.0 + 1e-4))
+        # flat atoms keep the whole-row projection (documented deviation)
+        out2 = project_atoms(d.reshape(7, -1), "l1ball")
+        norms2 = jnp.sum(jnp.abs(out2), axis=1)
+        assert bool(jnp.all(norms2 <= 1.0 + 1e-4))
 
     def test_unknown_constraint_raises(self, rng):
         with pytest.raises(ValueError):
