@@ -203,7 +203,10 @@ def _batch_loss(
         logits = apply_fn(variables, x_c + dv).astype(jnp.float32)
     else:
         dv = dict_apply(v_rows, d).reshape(x.shape)
-        logits = apply_fn(variables, x + dv).astype(jnp.float32)
+        # promote (not truncate): f64 inputs keep f64 logits so the
+        # executed-reference f64 parity tests see full-precision gradients
+        logits = apply_fn(variables, x + dv).astype(
+            jnp.promote_types(jnp.float32, x.dtype))
     if cfg.loss == "ce":
         logp = jax.nn.log_softmax(logits, axis=-1)
         per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
@@ -542,7 +545,8 @@ def supervised_ddrague(
         dv = dict_apply(
             v, d, compute_dtype=jnp.bfloat16 if mixed else None
         ).reshape(images.shape)
-        logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
+        logits = apply_fn(variables, images_c + dv).astype(
+            jnp.promote_types(jnp.float32, images.dtype))
         # Reference uses mean-CE here (adil.py:519) but sum for 'logits'.
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
@@ -600,7 +604,7 @@ def supervised_adamw_codes(
     labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
     opt = make_optimizer(cfg.code_lr)
     n = images.shape[0]
-    v0 = jnp.zeros((n, cfg.n_atoms))
+    v0 = jnp.zeros((n, cfg.n_atoms), images.dtype)
     # Mixed-precision inner forward (master v, projections, and the final
     # budget-clamped adversary stay fp32) — see supervised_ddrague.
     mixed = cfg.perturb_dtype == "bfloat16"
@@ -610,7 +614,8 @@ def supervised_adamw_codes(
         dv = dict_apply(
             v, d, compute_dtype=jnp.bfloat16 if mixed else None
         ).reshape(images.shape)
-        logits = apply_fn(variables, images_c + dv).astype(jnp.float32)
+        logits = apply_fn(variables, images_c + dv).astype(
+            jnp.promote_types(jnp.float32, images.dtype))
         red = "mean" if cfg.loss == "ce" else "sum"
         return attack_loss(
             logits, labels, loss=cfg.loss, targeted=cfg.targeted, kappa=kappa,
@@ -671,6 +676,7 @@ def unsupervised_sample(
     key: jax.Array,
     cfg: AdilConfig,
     eps=None,
+    v_trials: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Best-of-trials random-code attack.
 
@@ -684,6 +690,11 @@ def unsupervised_sample(
     (tensor, list) tuple its own callers can't consume (SURVEY.md §2.4); the
     documented intent — vectorized masked updates, tensor return — is
     implemented here.
+
+    ``v_trials`` ((trials, N, K)) bypasses the sampler with externally
+    supplied codes — the executed-reference parity tests replay the
+    reference's torch RNG draws through the SAME selection program
+    (tests/test_reference_exec_adil.py).
     """
     eps = cfg.eps if eps is None else eps  # may be traced (sweep reuse)
     pre_labels = jnp.argmax(apply_fn(variables, images).astype(jnp.float32), -1)
@@ -696,11 +707,14 @@ def unsupervised_sample(
         images,  # best adversary so far (clone of input, adil.py:472)
     )
 
-    keys = jax.random.split(key, cfg.trials)
+    if v_trials is None:
+        keys = jax.random.split(key, cfg.trials)
+        vs = jax.vmap(lambda k: sample_sphere(k, n, cfg, eps))(keys)
+    else:
+        vs = jnp.asarray(v_trials)
 
-    def trial(carry, k):
+    def trial(carry, v):
         fooled, mse_fool, mse_nofool, best = carry
-        v = sample_sphere(k, n, cfg, eps)
         dv = linf_clamp(dict_apply(v, d), eps)
         adv = clamp_image(images + dv)
         adv_labels = jnp.argmax(apply_fn(variables, adv).astype(jnp.float32), -1)
@@ -717,5 +731,5 @@ def unsupervised_sample(
         fooled = fooled | fooling
         return (fooled, mse_fool, mse_nofool, best), None
 
-    (fooled, _, _, best), _ = jax.lax.scan(trial, init, keys)
+    (fooled, _, _, best), _ = jax.lax.scan(trial, init, vs)
     return best

@@ -838,10 +838,14 @@ def _lcv_run(apply_fn, niter: int):
     def run(variables, d, images, targets, step_size, tol, lam1, lam2, coeff):
         n = images.shape[0]
         delta, gamma, beta = 0.9, 1.0, 0.5
+        # dtype-polymorphic: carries/accumulators follow the image dtype so
+        # the f64 executed-reference parity tests can drive the same jitted
+        # program (f32 inputs are bit-identical to the old hardcoded path).
+        acc_t = jnp.promote_types(jnp.float32, images.dtype)
 
         def smooth(v):
             dv = dict_apply(v, d)
-            logits = apply_fn(variables, images + dv).astype(jnp.float32)
+            logits = apply_fn(variables, images + dv).astype(acc_t)
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.sum(jnp.take_along_axis(logp, targets[:, None], axis=-1))
             return coeff * ce + 0.5 * lam2 * jnp.sum(dv**2)
@@ -905,13 +909,13 @@ def _lcv_run(apply_fn, niter: int):
             stop = (loss_prev - loss_next) < tol
             return (it + 1, stop, v_next, step, loss_next)
 
-        v0 = jnp.zeros((n, d.shape[0]))
+        v0 = jnp.zeros((n, d.shape[0]), images.dtype)
         carry = (
             jnp.zeros((), jnp.int32),
             jnp.array(False),
             v0,
-            step_size,
-            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(step_size, acc_t),
+            jnp.asarray(jnp.inf, acc_t),
         )
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[2]

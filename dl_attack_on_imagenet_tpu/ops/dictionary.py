@@ -52,7 +52,11 @@ def dict_apply(v: jax.Array, d: jax.Array, compute_dtype=None) -> jax.Array:
         v, d = v.astype(compute_dtype), d.astype(compute_dtype)
         precision, out_dtype = None, compute_dtype
     else:
-        precision, out_dtype = _PRECISION, jnp.float32
+        # promote, never truncate: f64 operands (the executed-reference
+        # parity tests) keep an f64 accumulator/output; f32/bf16 inputs
+        # keep the true-fp32 contraction as before
+        precision = _PRECISION
+        out_dtype = jnp.promote_types(jnp.float32, jnp.result_type(v, d))
     if d.ndim > 2:
         # Contract over the atom axis directly (image-shaped output, no
         # flatten): reshaping the (N, M) matmul result back to NHWC forced a
@@ -70,7 +74,9 @@ def dict_gram(d: jax.Array) -> jax.Array:
     Reference: adil.py:523 (``dtd = torch.tensordot(d, d, dims=([0,1,2],[0,1,2]))``).
     """
     d_flat = dict_flatten(d)
-    return jnp.dot(d_flat, d_flat.T, precision=_PRECISION, preferred_element_type=jnp.float32)
+    out_dtype = jnp.promote_types(jnp.float32, d_flat.dtype)
+    return jnp.dot(d_flat, d_flat.T, precision=_PRECISION,
+                   preferred_element_type=out_dtype)
 
 
 def dict_pinv(d: jax.Array, ridge: float = 0.0) -> jax.Array:
@@ -86,14 +92,17 @@ def dict_pinv(d: jax.Array, ridge: float = 0.0) -> jax.Array:
     reference inverts unregularized).
     """
     d_flat = dict_flatten(d)
-    gram = jnp.dot(d_flat, d_flat.T, precision=_PRECISION, preferred_element_type=jnp.float32)
+    out_dtype = jnp.promote_types(jnp.float32, d_flat.dtype)
+    gram = jnp.dot(d_flat, d_flat.T, precision=_PRECISION,
+                   preferred_element_type=out_dtype)
     if ridge:
         gram = gram + ridge * jnp.eye(gram.shape[0], dtype=gram.dtype)
     # Solve the small (K, K) system against the identity, then one matmul.
     # Solving directly against the (K, M) RHS compiles pathologically slowly
     # on TPU for M ~ 150k; this form keeps the LU factor work at K×K.
     gram_inv = jnp.linalg.solve(gram, jnp.eye(gram.shape[0], dtype=gram.dtype))
-    return jnp.dot(gram_inv, d_flat, precision=_PRECISION, preferred_element_type=jnp.float32)
+    return jnp.dot(gram_inv, d_flat, precision=_PRECISION,
+                   preferred_element_type=out_dtype)
 
 
 def codes_from_pinv(z: jax.Array, d_pinv: jax.Array, compute_dtype=None) -> jax.Array:
@@ -122,7 +131,7 @@ def codes_from_pinv(z: jax.Array, d_pinv: jax.Array, compute_dtype=None) -> jax.
         out_dtype = compute_dtype
     else:
         precision = _PRECISION
-        out_dtype = jnp.float32
+        out_dtype = jnp.promote_types(jnp.float32, jnp.result_type(z, d_pinv))
     if z.ndim > 2:
         d_img = d_pinv.reshape((d_pinv.shape[0],) + z.shape[1:])
         axes = tuple(range(1, z.ndim))
