@@ -106,14 +106,23 @@ def main():
     state, losses, foolings = scan(state, victim.variables, images, labels, idx, mask)
     jax.block_until_ready(state.d)
 
-    n_dispatch = 3
-    t0 = time.perf_counter()
+    # Per-dispatch timing: the mean gives the wall-clock contract number;
+    # the MIN filters the 65-68 it/s host-side variance BENCHMARKS.md
+    # documents (physical-host jitter between dispatches) and lands on the
+    # stable device program time (14.66 ms/step per the round-4 trace) —
+    # emitted as device_ms_per_iter so round-over-round comparisons don't
+    # inherit host noise (VERDICT round-4 weak #3 / directive #6).
+    n_dispatch = 6
+    per_dispatch = []
     for _ in range(n_dispatch):
+        t0 = time.perf_counter()
         state, losses, foolings = scan(
             state, victim.variables, images, labels, idx, mask
         )
-    jax.block_until_ready(state.d)
-    dt = (time.perf_counter() - t0) / (n_dispatch * SCAN_LEN)
+        jax.block_until_ready(state.d)
+        per_dispatch.append(time.perf_counter() - t0)
+    dt = sum(per_dispatch) / (n_dispatch * SCAN_LEN)
+    device_ms = min(per_dispatch) / SCAN_LEN * 1e3
 
     iters_per_sec = 1.0 / dt
     print(
@@ -123,6 +132,7 @@ def main():
                 "value": round(iters_per_sec, 2),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
+                "device_ms_per_iter": round(device_ms, 3),
             }
         )
     )

@@ -258,7 +258,13 @@ def _fab_run(apply_fn, variables, images, labels, x0, targets, steps: int,
         x_new = jnp.clip(x_new, 0.0, 1.0).reshape(x.shape)
 
         pred = jnp.argmax(logits_of(x_new), axis=-1)
-        fooled = (pred == targets) if targeted else (pred != labels)
+        # Success is MISCLASSIFICATION in both modes: the paper's targeted
+        # variant (Croce & Hein ICML 2020 §4, "FAB-T") restricts only the
+        # boundary linearization to the target class as a scalability
+        # device — the success test stays pred != y, and the authors'
+        # released targeted code records `y1 != y` identically. (Replaces
+        # the round-4 `pred == target` guess; PARITY.md, round-5 note.)
+        fooled = pred != labels
         dist = jnp.max(jnp.abs(flat(x_new) - flat(x)), axis=-1)
         better = fooled & (dist < d_best)
         x_best = jnp.where(better[:, None, None, None], x_new, x_best)

@@ -212,3 +212,40 @@ class TestFAB:
     def test_l2_rejected(self, victim):
         with pytest.raises(ValueError):
             FAB(victim, norm="L2")
+
+
+class TestFabTSuccessCriterion:
+    def test_fab_t_success_is_misclassification(self):
+        """FAB-T counts ANY misclassification, not pred == target: the
+        paper's targeted variant (Croce & Hein, ICML 2020, FAB-T) restricts
+        only the boundary linearization to the target class; the success
+        test stays pred != y (the authors' released targeted code records
+        y1 != y). Victim geometry: class-2's region lies strictly between
+        the clean point and the 0-vs-1 boundary, so attacking target 1
+        lands in class 2 — which must be recorded as a success (under the
+        old pred == target rule the attack would return the clean image)."""
+        from dl_attack_on_imagenet_tpu.models import VictimModel
+
+        d_axis = jnp.ones((16,)) / 16.0  # s = mean(x), 4x4x1 images
+
+        def apply_fn(variables, x):
+            s = x.reshape(x.shape[0], -1) @ d_axis
+            z0 = jnp.zeros_like(s)
+            z1 = 5.0 * (s - 0.8)    # 0-vs-1 boundary at s = 0.8 (target)
+            z2 = 50.0 * (s - 0.65)  # class-2 region from s = 0.65 onward
+            return jnp.stack([z0, z1, z2], axis=-1)
+
+        victim = VictimModel(
+            name="lin3", module=None, variables={}, input_size=4,
+            num_classes=3, apply_fn=apply_fn, normalize=False,
+        )
+        x = jnp.full((2, 4, 4, 1), 0.5)
+        labels = jnp.zeros((2,), jnp.int32)
+        assert list(np.asarray(victim.predict(x))) == [0, 0]
+        # n_classes=2 -> exactly one target set: the runner-up class 1
+        atk = FAB(victim, steps=5, n_classes=2, targeted=True, seed=3)
+        adv = atk(x, labels)
+        pred = np.asarray(victim.predict(adv))
+        assert np.all(pred != 0), "off-target misclassification must count"
+        assert np.all(pred == 2)
+        assert float(jnp.max(jnp.abs(adv - x))) > 1e-3

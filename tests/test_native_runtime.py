@@ -1,17 +1,37 @@
-"""Native C++ host-loader tests: decode parity with PIL, prefetch loader."""
+"""Native C++ host-loader tests: decode parity with PIL, prefetch loader.
+
+This module FAILS (not skips) when the native library can't build or load:
+g++ and libjpeg are baked into this environment (CLAUDE.md), so a missing
+``libadil_host.so`` means ``make -C native`` broke — a skip here would
+silently drop the SURVEY.md §2.3 pinned-memory/decode coverage (VERDICT
+round-4 directive #8)."""
 
 import os
+import subprocess
 
 import numpy as np
 import pytest
 
 from dl_attack_on_imagenet_tpu.runtime import HostLoader, get_runtime
 
-runtime = get_runtime()
 
-pytestmark = pytest.mark.skipif(
-    runtime is None, reason="native runtime unavailable (no toolchain/libjpeg)"
-)
+def _require_runtime():
+    rt = get_runtime()
+    if rt is not None:
+        return rt
+    # surface the real compiler error instead of a silent skip
+    res = subprocess.run(
+        ["make", "-C", os.path.join(os.path.dirname(__file__), "..", "native")],
+        capture_output=True, text=True, timeout=300,
+    )
+    pytest.fail(
+        "native runtime failed to build/load on a host with the baked-in "
+        f"toolchain.\nmake rc={res.returncode}\nstdout:\n{res.stdout}\n"
+        f"stderr:\n{res.stderr}"
+    )
+
+
+runtime = _require_runtime()
 
 
 @pytest.fixture()
