@@ -1,0 +1,143 @@
+"""One harness-driven production run on chip (VERDICT round-4 directive #3).
+
+The reference's ACTUAL workflow is get_atks -> get_performance (timing each
+attack, performance.py:116-151) -> select_hyperparameter (:51-110) ->
+pickled results (demo_dL_attack.py:146-156). Every on-chip number so far
+came from dedicated bench drivers; this certifies the L5 layer itself at
+production scale: a reference-shaped grid (ADIL + PGD + APGD + Square)
+driven through evaluation.harness against the TRAINED synthetic victim
+(protocol of benchmarks/fooling_realism.py), with the results artifact
+persisted the way cli/demo does.
+
+Includes the refreshed ADIL-dictionary fooling row (post round-4
+relayout-fix code) the round-4 VERDICT asked for (weak #4).
+
+    python benchmarks/harness_e2e.py
+
+Results -> benchmarks/out_harness_e2e.json (+ msgpack artifact) and
+BENCHMARKS.md round 5.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fooling_realism as fr
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out_harness_e2e.json")
+EPS = 8 / 255
+BATCH = 64
+
+
+def main(victim_name="resnet50"):
+    from dl_attack_on_imagenet_tpu.attacks import ADIL, APGD, PGD, Square
+    from dl_attack_on_imagenet_tpu.data import ArrayDataset
+    from dl_attack_on_imagenet_tpu.evaluation import (
+        get_atks,
+        metrics,
+        select_hyperparameter,
+    )
+    from dl_attack_on_imagenet_tpu.models import create_model
+    from dl_attack_on_imagenet_tpu.utils import ArtifactCache, save_artifact
+
+    victim = create_model(
+        victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        stem_s2d=victim_name.startswith(("resnet", "densenet")),
+    )
+    images, labels = fr.make_dataset(jax.random.PRNGKey(7))
+    train_x, val_x = images[: fr.N_TRAIN], images[fr.N_TRAIN :]
+    train_y, val_y = labels[: fr.N_TRAIN], labels[fr.N_TRAIN :]
+    victim, final_loss, train_dt = fr.train_victim(victim, train_x, train_y)
+    ds_train = ArrayDataset(np.asarray(train_x), np.asarray(train_y))
+    acc_val = metrics.model_accuracy(
+        ArrayDataset(np.asarray(val_x), np.asarray(val_y)), victim
+    )
+    print(json.dumps({"victim": {"val_acc": float(acc_val),
+                                 "train_loss": round(final_loss, 4),
+                                 "train_seconds": round(train_dt, 1)}}),
+          flush=True)
+
+    shutil.rmtree("/tmp/harness_e2e_dicts", ignore_errors=True)
+    cache = ArtifactCache("/tmp/harness_e2e_dicts")
+
+    # Reference-shaped grid (demo_dL_attack.py:88-143): ADIL's (n_atoms,
+    # kappa) grid like :114-118; PGD/APGD/Square rows from the commented
+    # grid with a small eps sweep so the budget criteria have real choices.
+    t0 = time.perf_counter()
+    atks_hyper = {
+        "adil": get_atks(
+            victim, ADIL, "n_atoms", [100], "kappa", [50.0],
+            eps=EPS, loss="logits", steps=40, batch_size=BATCH,
+            steps_inference=30, data_train=ds_train, cache=cache,
+            model_name="harness_e2e", seed=0, val_every=10, verbose=False,
+        ),
+        "pgd": get_atks(victim, PGD, "eps", [4 / 255, EPS, 16 / 255],
+                        alpha=2 / 255, steps=100, random_start=True),
+        "apgd": get_atks(victim, APGD, "eps", [4 / 255, EPS, 16 / 255],
+                         steps=100),
+        "square": get_atks(victim, Square, "eps", [EPS, 16 / 255],
+                           n_queries=1000, seed=0),
+    }
+    build_dt = time.perf_counter() - t0  # incl. ADIL dictionary learning
+
+    data = [(np.asarray(val_x), np.asarray(val_y))]
+    budgets = [5.0, 50.0, 1e6]
+    t0 = time.perf_counter()
+    atks_selected, perf, validation_perf = select_hyperparameter(
+        atks_hyper, victim, data, budgets, criterion="mse_limit", verbose=True
+    )
+    select_dt = time.perf_counter() - t0
+
+    # persist the results artifact like cli/demo (demo_dL_attack.py:146-156)
+    flat = {
+        "fooling_rate": {k: [float(x) for x in v]
+                         for k, v in validation_perf["fooling_rate"].items()},
+        "rmse": {k: [float(x) for x in v]
+                 for k, v in validation_perf["rmse"].items()},
+        "mse": {k: [float(x) for x in v]
+                for k, v in validation_perf["mse"].items()},
+        "time": {k: [float(x) for x in v]
+                 for k, v in validation_perf["time"].items()},
+    }
+    os.makedirs("/tmp/harness_e2e_results", exist_ok=True)
+    save_artifact("/tmp/harness_e2e_results/results.msgpack", flat)
+
+    selected = []
+    for b, sel in zip(budgets, atks_selected):
+        row = {}
+        for key, lst in sel.items():
+            if lst:
+                group = validation_perf["group_key"]
+                in_key = next(k for k, v in group.items() if v == key)
+                row[key] = atks_hyper[in_key].index(lst[0])
+            else:
+                row[key] = None
+        selected.append({"budget": b, "picked_index": row})
+
+    report = {
+        "victim": victim_name,
+        "val_acc": float(acc_val),
+        "grid_build_seconds_incl_adil_training": round(build_dt, 1),
+        "harness_seconds": round(select_dt, 1),
+        "validation_perf": flat,
+        "selected": selected,
+    }
+    print(json.dumps(report, indent=1), flush=True)
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
