@@ -89,8 +89,56 @@ def _install_stubs():
         hl.expand_hostlist = lambda spec: [s for s in spec.split(",") if s]
         sys.modules["hostlist"] = hl
 
+    # torchvision isn't installed; deepfool.py:6 / universal_pert.py:8
+    # import its transforms module without using it (their transform line
+    # is commented out) — an empty stub satisfies the import.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv_t.transforms = tv_t
+        tv.transforms = tv_t
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+
     for key, val in _SLURM_ENV.items():
         os.environ.setdefault(key, val)
+
+
+@contextlib.contextmanager
+def cuda_as_identity():
+    """Run reference code whose `.cuda()` calls are hardcoded
+    (deepfool.py:60, universal_pert.py:61-65 — SURVEY.md §2.4) on CPU:
+    Tensor.cuda/Module.cuda become identity for the duration."""
+    import torch
+
+    t_cuda = torch.Tensor.cuda
+    m_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = t_cuda
+        torch.nn.Module.cuda = m_cuda
+
+
+def load_reference_deepfool():
+    """Import the reference's standalone deepfool + universal_pert modules
+    (attacks/attacks_classes/*.py). universal_pert.py:2 does
+    ``from deepfool import deepfool`` — a root-relative import that only
+    resolves with the attacks_classes dir itself on sys.path (SURVEY.md
+    §2.1)."""
+    _install_stubs()
+    classes_dir = os.path.join(REF_ROOT, "attacks", "attacks_classes")
+    for p in (REF_ROOT, classes_dir):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import deepfool as ref_deepfool
+    import universal_pert as ref_universal
+
+    return types.SimpleNamespace(
+        deepfool=ref_deepfool, universal=ref_universal
+    )
 
 
 def load_reference():
