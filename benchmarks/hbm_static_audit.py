@@ -125,8 +125,11 @@ def main(victim_name="resnet18", size=SIZE, batch=BATCH):
     analyze("ddrague", dd, d, x, results=results,
             notes="serving solver, <=30 iters, bf16 inner")
 
+    # victim-suffixed so the resnet18 and resnet50 audits coexist
+    # (the round-4 file name is kept for resnet18 compatibility)
+    suffix = "" if victim_name == "resnet18" else f"_{victim_name}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "out_hbm_static.json")
+                       f"out_hbm_static{suffix}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"out": out}))

@@ -106,14 +106,22 @@ def main(victim_name="resnet50", train_steps=150):
         for bi, (x, y) in enumerate(batches):
             pre = predict(x)
             keep = np.asarray(pre == y)  # harness filter (performance.py:163)
+            k = int(keep.sum())
             xk = x[keep]
             yk = jnp.asarray(pre)[keep]
+            # cycle-pad kept rows back to BATCH (evaluation.harness does the
+            # same) so every attack sees ONE shape — ragged keep-counts
+            # would recompile the multi-minute jitted programs per batch
+            reps = -(-BATCH // max(k, 1))
+            x_in = jnp.concatenate([xk] * reps)[:BATCH]
+            y_in = jnp.concatenate([yk] * reps)[:BATCH]
             t0 = time.perf_counter()
-            adv = atk(xk, yk)
-            jax.block_until_ready(adv)
+            adv_full = atk(x_in, y_in)
+            jax.block_until_ready(adv_full)
             dt = time.perf_counter() - t0
             t_all += dt
-            post = predict(adv)
+            adv = adv_full[:k]
+            post = predict(adv_full)[:k]  # fixed-shape forward (no recompiles)
             fool = float(jnp.mean(post != yk))
             linf = float(jnp.max(jnp.abs(adv - xk)))
             rmse = float(metrics.compute_rmse(adv, xk, reduction="mean"))
