@@ -141,6 +141,22 @@ def load_reference_deepfool():
     )
 
 
+def load_reference_uap():
+    """Import the reference's UAPPGD + FastUAP modules (executed, not read).
+
+    uappgd.py imports ``env_setting`` root-relative (:13) and torchattacks
+    (:6); fast_uap.py needs the ``zero_gradients`` restore (:12). Both
+    resolve with the stubs above and REF_ROOT on sys.path.
+    """
+    _install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import attacks.attacks_classes.uappgd as ref_uappgd
+    import attacks.attacks_classes.fast_uap as ref_fast_uap
+
+    return types.SimpleNamespace(uappgd=ref_uappgd, fast_uap=ref_fast_uap)
+
+
 def load_reference():
     """Import and return the reference's own modules (executed, not read).
 
