@@ -27,6 +27,7 @@ REF_ROOT = "/root/reference"
 
 _SLURM_ENV = {
     "SLURM_JOB_NODELIST": "localhost",
+    "SLURM_STEP_NODELIST": "localhost",
     "SLURM_STEP_GPUS": "0",
     "SLURM_NTASKS": "1",
     "SLURM_JOB_NUM_NODES": "1",
@@ -155,6 +156,54 @@ def load_reference_uap():
     import attacks.attacks_classes.fast_uap as ref_fast_uap
 
     return types.SimpleNamespace(uappgd=ref_uappgd, fast_uap=ref_fast_uap)
+
+
+def load_reference_accuracy():
+    """Import the reference's model_accuracy.py (executed, not read).
+
+    The one blocker is ``torchmetrics`` (not installed). Stubbed with the
+    torchmetrics v0.x ``Accuracy`` contract the reference was written
+    against — update(logits, target) accumulates argmax==target counts,
+    compute() returns the running mean, reset() clears — which is exactly
+    the surface model_accuracy touches (:51-62). NB in torchmetrics >=1.0
+    the no-arg ``Accuracy()`` call itself raises (``task`` became
+    required), so the reference is uncallable against current releases;
+    the stub restores the historical behavior.
+    """
+    import torch
+
+    _install_stubs()
+    if "torchmetrics" not in sys.modules:
+        tmx = types.ModuleType("torchmetrics")
+
+        class Accuracy:
+            def __init__(self):
+                self.correct = 0
+                self.total = 0
+
+            def to(self, device):
+                return self
+
+            def __call__(self, preds, target):
+                c = int((preds.argmax(dim=-1) == target).sum())
+                self.correct += c
+                self.total += int(target.numel())
+                return torch.tensor(c / max(int(target.numel()), 1))
+
+            def compute(self):
+                return torch.tensor(self.correct / max(self.total, 1))
+
+            def reset(self):
+                self.correct = 0
+                self.total = 0
+
+        tmx.Accuracy = Accuracy
+        sys.modules["torchmetrics"] = tmx
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import model_accuracy as ref_model_accuracy
+
+    return types.SimpleNamespace(model_accuracy=ref_model_accuracy)
 
 
 def load_reference():
