@@ -56,7 +56,7 @@ def main(victim_name="resnet50"):
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         stem_s2d=victim_name.startswith(("resnet", "densenet")),
     )
-    images, labels = fr.make_dataset(jax.random.PRNGKey(7))
+    images, labels = fr.make_dataset(7)
     fit_x = np.asarray(images[:N_FIT])
     fit_y = np.asarray(labels[:N_FIT])
     ds = ArrayDataset(fit_x, fit_y)

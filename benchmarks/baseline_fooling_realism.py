@@ -53,7 +53,7 @@ def main(only=(), victim_name="resnet50", train_steps=150):
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         stem_s2d=victim_name.startswith(("resnet", "densenet")),
     )
-    images, labels = fr.make_dataset(jax.random.PRNGKey(7))
+    images, labels = fr.make_dataset(7)
     train_x, val_x = images[: fr.N_TRAIN], images[fr.N_TRAIN:]
     train_y, val_y = labels[: fr.N_TRAIN], labels[fr.N_TRAIN:]
     victim, final_loss, train_dt = fr.train_victim(

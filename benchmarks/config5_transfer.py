@@ -55,7 +55,7 @@ def main():
     from dl_attack_on_imagenet_tpu.models import create_model
     from dl_attack_on_imagenet_tpu.utils import ArtifactCache
 
-    images, labels = fr.make_dataset(jax.random.PRNGKey(7))
+    images, labels = fr.make_dataset(7)
     train_x, val_x = images[: fr.N_TRAIN], images[fr.N_TRAIN :]
     train_y, val_y = labels[: fr.N_TRAIN], labels[fr.N_TRAIN :]
     ds_train = ArrayDataset(np.asarray(train_x), np.asarray(train_y))
@@ -64,9 +64,15 @@ def main():
     victims = {}
     for name in VICTIMS:
         t0 = time.perf_counter()
+        # stem_s2d is a conv-stem knob — only resnets/densenets accept it
+        # (create_model forwards unknown kwargs to the module ctor)
+        kw = (
+            {"stem_s2d": True}
+            if name.startswith(("resnet", "densenet"))
+            else {}
+        )
         v = create_model(
-            name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-            stem_s2d=name.startswith(("resnet", "densenet")),
+            name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, **kw
         )
         v, loss, train_dt = fr.train_victim(
             v, train_x, train_y, steps=TRAIN_STEPS.get(name, DEFAULT_STEPS)

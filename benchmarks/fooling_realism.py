@@ -46,17 +46,36 @@ N_VAL = 64
 
 
 def make_dataset(key):
-    """Per-class smooth pattern (7x7 noise, bilinear-upsampled) + pixel noise."""
-    kc, kn, kl = jax.random.split(key, 3)
-    base = jax.random.uniform(kc, (N_CLASSES, 7, 7, 3))
-    base = jax.image.resize(base, (N_CLASSES, SIZE, SIZE, 3), "bilinear")
-    labels = jax.random.randint(kl, (N_TRAIN + N_VAL,), 0, N_CLASSES)
-    noise = jax.random.uniform(kn, (N_TRAIN + N_VAL, SIZE, SIZE, 3)) * 0.25
-    images = jnp.clip(base[labels] * 0.75 + noise, 0.0, 1.0)
-    return images, labels
+    """Per-class smooth pattern (7x7 noise, bilinear-upsampled) + pixel noise.
+
+    Computed on the host CPU backend and returned as NUMPY: threefry bits
+    are backend-invariant so the dataset is bit-identical to the former
+    on-chip version, but the 193 MB device->host readback disappears — the
+    axon tunnel's bulk D2H was measured at ~0.35 MB/s on some hosts
+    (~9 min for this array), which dominated whole driver runs. Consumers
+    upload (H2D is ~20-200 MB/s) as needed; train_victim does so itself.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)  # created ON cpu: no tunnel hop
+        else:
+            # a key minted on the axon device needs one (tiny but, on a
+            # degraded tunnel, minutes-slow) D2H hop — pull it once here
+            key = jax.device_put(key, cpu)
+        kc, kn, kl = jax.random.split(key, 3)
+        base = jax.random.uniform(kc, (N_CLASSES, 7, 7, 3))
+        base = jax.image.resize(base, (N_CLASSES, SIZE, SIZE, 3), "bilinear")
+        labels = jax.random.randint(kl, (N_TRAIN + N_VAL,), 0, N_CLASSES)
+        noise = jax.random.uniform(kn, (N_TRAIN + N_VAL, SIZE, SIZE, 3)) * 0.25
+        images = jnp.clip(base[labels] * 0.75 + noise, 0.0, 1.0)
+    return np.asarray(images), np.asarray(labels)
 
 
 def train_victim(victim, images, labels, steps=150, batch=64, lr=2e-4):
+    # one H2D upload; the per-step gather then stays device-side
+    images = jax.device_put(jnp.asarray(images, jnp.float32), jax.devices()[0])
+    labels = jax.device_put(jnp.asarray(labels, jnp.int32), jax.devices()[0])
     tx = optax.adam(lr)
     opt_state = tx.init(victim.variables["params"])
     variables = victim.variables
@@ -105,7 +124,7 @@ def main():
     victim = create_model(
         "resnet50", rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, stem_s2d=True
     )
-    images, labels = make_dataset(jax.random.PRNGKey(7))
+    images, labels = make_dataset(7)
     train_x, val_x = images[:N_TRAIN], images[N_TRAIN:]
     train_y, val_y = labels[:N_TRAIN], labels[N_TRAIN:]
 

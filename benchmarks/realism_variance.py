@@ -69,7 +69,7 @@ def main(victim_name="resnet50", train_steps=150):
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         stem_s2d=victim_name.startswith(("resnet", "densenet")),
     )
-    images, labels = fr.make_dataset(jax.random.PRNGKey(7))
+    images, labels = fr.make_dataset(7)
     victim, final_loss, train_dt = fr.train_victim(
         victim, images[: fr.N_TRAIN], labels[: fr.N_TRAIN], steps=train_steps
     )
