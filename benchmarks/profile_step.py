@@ -204,6 +204,25 @@ def build_ddrague(batch=64, model="resnet50", size=224, iters=30):
     return functools.partial(fn, victim.variables), d, x
 
 
+def build_fab(batch=64, model="resnet50", size=224, steps=100):
+    """The suite-table FAB program at its operating point (baseline_suite_
+    bench.py fab row: eps=8/255, steps=100, 9 untargeted candidates,
+    random b64 images, labels = victim predictions). Used to measure the
+    per-op split behind the r50/r18 = 2.13x scaling (advisor r4 #3:
+    'measure the split before claiming it')."""
+    from dl_attack_on_imagenet_tpu.attacks import FAB
+    from dl_attack_on_imagenet_tpu.attacks import adil_core as core
+    from dl_attack_on_imagenet_tpu.models import create_model
+
+    kwargs = {"stem_s2d": True} if model.startswith(("resnet", "densenet")) else {}
+    victim = create_model(model, rng=jax.random.PRNGKey(0),
+                          dtype=jnp.bfloat16, **kwargs)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3))
+    labels = core.predict_labels(victim.apply_fn, victim.variables, x)
+    atk = FAB(victim, eps=8 / 255, steps=steps, n_classes=10)
+    return atk, x, labels
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
@@ -213,12 +232,25 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--target", default="train",
-                    choices=("train", "ddrague"),
+                    choices=("train", "ddrague", "fab"),
                     help="train = the bench.py dictionary step; ddrague = "
-                         "the serving solver (30 pinned iters per call)")
+                         "the serving solver (30 pinned iters per call); "
+                         "fab = the suite FAB program (one full forward, "
+                         "per-FAB-iteration attribution)")
     args = ap.parse_args()
 
-    if args.target == "ddrague":
+    if args.target == "fab":
+        fab_steps = 100
+        atk, x, labels = build_fab(args.batch, args.model, args.size,
+                                   steps=fab_steps)
+        adv = atk(x, labels)
+        jax.block_until_ready(adv)  # compile outside the trace
+        logdir = args.logdir or tempfile.mkdtemp(prefix="adil_trace_")
+        with jax.profiler.trace(logdir):
+            adv = atk(x, labels)
+            jax.block_until_ready(adv)
+        args.steps = fab_steps  # per-FAB-iteration attribution
+    elif args.target == "ddrague":
         fn, d, x = build_ddrague(args.batch, args.model, args.size)
         adv = fn(d, x)
         jax.block_until_ready(adv)
