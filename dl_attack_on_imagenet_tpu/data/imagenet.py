@@ -61,8 +61,12 @@ def default_transform(img, size: int = 224, resize: int = 256) -> np.ndarray:
     w, h = img.size
     img = img.resize(resized_dims(w, h, resize), Image.BILINEAR)
     w, h = img.size
-    left = (w - size) // 2
-    top = (h - size) // 2
+    # torchvision center_crop ROUNDS the half-margin (functional.center_crop:
+    # int(round((dim - c) / 2.0)), round-half-even) — floor `// 2` shifted the
+    # window one pixel left/up for odd margins rounding up (found by executing
+    # DS_ImageNet.py's transform stack, tests/test_reference_exec_imagenet.py)
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     return arr

@@ -22,6 +22,7 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <condition_variable>
 #include <csetjmp>
@@ -152,8 +153,11 @@ bool decode_transform(const char* path, int size, int resize, float* out) {
   std::vector<float> vert;
   resample_axis(tr, rw, h, &vert, rh);  // (rw, rh, 3) transposed layout
 
-  const int left = (rw - size) / 2;
-  const int top = (rh - size) / 2;
+  // torchvision rounds the crop half-margin half-to-even (matches Python
+  // round(); see data/imagenet.py default_transform) — nearbyint under the
+  // default FE_TONEAREST mode is exactly that.
+  const int left = static_cast<int>(std::nearbyint((rw - size) / 2.0));
+  const int top = static_cast<int>(std::nearbyint((rh - size) / 2.0));
   for (int y = 0; y < size; ++y) {
     const int sy = std::min(std::max(top + y, 0), rh - 1);
     for (int x = 0; x < size; ++x) {

@@ -90,16 +90,140 @@ def _install_stubs():
         hl.expand_hostlist = lambda spec: [s for s in spec.split(",") if s]
         sys.modules["hostlist"] = hl
 
-    # torchvision isn't installed; deepfool.py:6 / universal_pert.py:8
-    # import its transforms module without using it (their transform line
-    # is commented out) — an empty stub satisfies the import.
+    # torchvision isn't installed. deepfool.py:6 / universal_pert.py:8 only
+    # import its transforms module (their transform line is commented out),
+    # but DS_ImageNet.py:2-18 actually USES ImageFolder + Resize/CenterCrop/
+    # ToTensor — stubbed here with torchvision's documented semantics so the
+    # reference's own dataset/split lines execute:
+    #   * ImageFolder: classes = sorted subdir names, samples sorted per
+    #     class by path, PIL RGB loader (torchvision.datasets.folder).
+    #   * Resize(s): shorter side -> s, long side TRUNCATED int(s*long/
+    #     short), PIL bilinear (F._compute_resized_output_size).
+    #   * CenterCrop(c): top/left = int(round((dim - c) / 2.0)) — ROUND,
+    #     not floor (torchvision.transforms.functional.center_crop).
+    #   * ToTensor: HWC uint8 -> CHW float32 / 255.
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv_t = types.ModuleType("torchvision.transforms")
+        tv_d = types.ModuleType("torchvision.datasets")
+
+        class Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for t in self.ts:
+                    x = t(x)
+                return x
+
+        class Resize:
+            def __init__(self, size):
+                self.size = size
+
+            def __call__(self, img):
+                from PIL import Image
+
+                w, h = img.size
+                s = self.size
+                if w <= h:
+                    ow, oh = s, int(s * h / w)
+                else:
+                    ow, oh = int(s * w / h), s
+                return img.resize((ow, oh), Image.BILINEAR)
+
+        class CenterCrop:
+            def __init__(self, size):
+                self.size = size
+
+            def __call__(self, img):
+                w, h = img.size
+                c = self.size
+                left = int(round((w - c) / 2.0))
+                top = int(round((h - c) / 2.0))
+                return img.crop((left, top, left + c, top + c))
+
+        class ToTensor:
+            def __call__(self, img):
+                import numpy as np
+                import torch as _torch
+
+                arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+                return _torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+        tv_t.Compose = Compose
+        tv_t.Resize = Resize
+        tv_t.CenterCrop = CenterCrop
+        tv_t.ToTensor = ToTensor
         tv_t.transforms = tv_t
         tv.transforms = tv_t
+
+        def pil_loader(path):
+            from PIL import Image
+
+            with open(path, "rb") as f:
+                return Image.open(f).convert("RGB")
+
+        class ImageFolder:
+            IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+            def __init__(self, root, transform=None, target_transform=None,
+                         loader=pil_loader):
+                self.root = root
+                self.transform = transform
+                self.target_transform = target_transform
+                self.loader = loader
+                self.classes = sorted(
+                    e.name for e in os.scandir(root) if e.is_dir()
+                )
+                if not self.classes:
+                    raise FileNotFoundError(
+                        f"Couldn't find any class folder in {root}."
+                    )
+                self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+                self.samples = []
+                for c in self.classes:
+                    cdir = os.path.join(root, c)
+                    for dirpath, dirnames, filenames in sorted(os.walk(cdir)):
+                        dirnames.sort()
+                        for fname in sorted(filenames):
+                            if fname.lower().endswith(self.IMG_EXTENSIONS):
+                                self.samples.append(
+                                    (os.path.join(dirpath, fname),
+                                     self.class_to_idx[c])
+                                )
+                self.targets = [t for _, t in self.samples]
+
+            def __len__(self):
+                return len(self.samples)
+
+            def __getitem__(self, index):
+                path, target = self.samples[index]
+                sample = self.loader(path)
+                if self.transform is not None:
+                    sample = self.transform(sample)
+                if self.target_transform is not None:
+                    target = self.target_transform(target)
+                return sample, target
+
+        # re-home the function-scoped classes so pickle (torch.save of a
+        # DS_ImageNet instance, imagenet_loading.py:53's workflow) can
+        # resolve them by module+qualname
+        for cls, mod in ((Compose, "torchvision.transforms"),
+                         (Resize, "torchvision.transforms"),
+                         (CenterCrop, "torchvision.transforms"),
+                         (ToTensor, "torchvision.transforms"),
+                         (ImageFolder, "torchvision.datasets"),
+                         (pil_loader, "torchvision.datasets")):
+            cls.__module__ = mod
+            cls.__qualname__ = cls.__name__
+
+        tv_d.ImageFolder = ImageFolder
+        tv_d.pil_loader = pil_loader
+        tv_d.folder = tv_d
+        tv.datasets = tv_d
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv_t
+        sys.modules["torchvision.datasets"] = tv_d
 
     for key, val in _SLURM_ENV.items():
         os.environ.setdefault(key, val)
@@ -156,6 +280,19 @@ def load_reference_uap():
     import attacks.attacks_classes.fast_uap as ref_fast_uap
 
     return types.SimpleNamespace(uappgd=ref_uappgd, fast_uap=ref_fast_uap)
+
+
+def load_reference_imagenet():
+    """Import the reference's DS_ImageNet.py + imagenet_loading.py
+    (executed, not read) — the data layer, via the faithful torchvision
+    ImageFolder/transforms stub installed above."""
+    _install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import DS_ImageNet as ref_ds
+    import imagenet_loading as ref_loading
+
+    return types.SimpleNamespace(ds=ref_ds, loading=ref_loading)
 
 
 def load_reference_accuracy():
