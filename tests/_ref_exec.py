@@ -87,7 +87,34 @@ def _install_stubs():
 
     if "hostlist" not in sys.modules:
         hl = types.ModuleType("hostlist")
-        hl.expand_hostlist = lambda spec: [s for s in spec.split(",") if s]
+
+        def expand_hostlist(spec):
+            """python-hostlist semantics for the forms the tests use:
+            'node[001-004,007],other[1-2],plain' -> expanded, padding kept
+            (env_setting.py:10 takes hostnames[0])."""
+            import re
+
+            out = []
+            # split on commas not inside brackets
+            parts = re.findall(r"[^,\[]+(?:\[[^\]]*\])?", spec)
+            for part in parts:
+                m = re.match(r"^(.*?)\[([^\]]*)\]$", part)
+                if not m:
+                    if part:
+                        out.append(part)
+                    continue
+                prefix, ranges = m.group(1), m.group(2)
+                for r in ranges.split(","):
+                    if "-" in r:
+                        lo, hi = r.split("-")
+                        width = len(lo)
+                        for v in range(int(lo), int(hi) + 1):
+                            out.append(f"{prefix}{v:0{width}d}")
+                    else:
+                        out.append(f"{prefix}{r}")
+            return out
+
+        hl.expand_hostlist = expand_hostlist
         sys.modules["hostlist"] = hl
 
     # torchvision isn't installed. deepfool.py:6 / universal_pert.py:8 only
