@@ -43,11 +43,17 @@ N_BATCHES = 4
 
 def fresh_batches(n_batches, batch, seed=1234):
     """iid draws from fr.make_dataset's distribution: same base patterns
-    (pure function of the kc split of PRNGKey(7)), fresh labels + noise."""
-    kc, _, _ = jax.random.split(jax.random.PRNGKey(7), 3)
-    base = jax.random.uniform(kc, (fr.N_CLASSES, 7, 7, 3))
-    base = jax.image.resize(base, (fr.N_CLASSES, fr.SIZE, fr.SIZE, 3),
-                            "bilinear")
+    (pure function of the kc split of PRNGKey(7)), fresh labels + noise.
+
+    The base resize runs on the CPU backend like make_dataset itself —
+    threefry bits are backend-invariant but the f32 resize arithmetic is
+    not, and the victim was trained on the CPU-computed patterns."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        kc, _, _ = jax.random.split(jax.random.PRNGKey(7), 3)
+        base = jax.random.uniform(kc, (fr.N_CLASSES, 7, 7, 3))
+        base = jax.image.resize(base, (fr.N_CLASSES, fr.SIZE, fr.SIZE, 3),
+                                "bilinear")
+    base = jax.device_put(np.asarray(base), jax.devices()[0])
     out = []
     key = jax.random.PRNGKey(seed)
     for _ in range(n_batches):
