@@ -54,7 +54,7 @@ def main(victim_name="resnet50"):
 
     victim = create_model(
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        stem_s2d=victim_name.startswith(("resnet", "densenet")),
+        **fr.victim_kwargs(victim_name),
     )
     images, labels = fr.make_dataset(7)
     fit_x = np.asarray(images[:N_FIT])

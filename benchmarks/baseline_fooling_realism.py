@@ -51,7 +51,7 @@ def main(only=(), victim_name="resnet50", train_steps=150):
 
     victim = create_model(
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        stem_s2d=victim_name.startswith(("resnet", "densenet")),
+        **fr.victim_kwargs(victim_name),
     )
     images, labels = fr.make_dataset(7)
     train_x, val_x = images[: fr.N_TRAIN], images[fr.N_TRAIN:]

@@ -64,15 +64,9 @@ def main():
     victims = {}
     for name in VICTIMS:
         t0 = time.perf_counter()
-        # stem_s2d is a conv-stem knob — only resnets/densenets accept it
-        # (create_model forwards unknown kwargs to the module ctor)
-        kw = (
-            {"stem_s2d": True}
-            if name.startswith(("resnet", "densenet"))
-            else {}
-        )
         v = create_model(
-            name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16, **kw
+            name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            **fr.victim_kwargs(name),
         )
         v, loss, train_dt = fr.train_victim(
             v, train_x, train_y, steps=TRAIN_STEPS.get(name, DEFAULT_STEPS)

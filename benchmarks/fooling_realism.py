@@ -48,12 +48,14 @@ N_VAL = 64
 def make_dataset(key):
     """Per-class smooth pattern (7x7 noise, bilinear-upsampled) + pixel noise.
 
-    Computed on the host CPU backend and returned as NUMPY: threefry bits
-    are backend-invariant so the dataset is bit-identical to the former
-    on-chip version, but the 193 MB device->host readback disappears — the
-    axon tunnel's bulk D2H was measured at ~0.35 MB/s on some hosts
-    (~9 min for this array), which dominated whole driver runs. Consumers
-    upload (H2D is ~20-200 MB/s) as needed; train_victim does so itself.
+    Computed on the host CPU backend and returned as NUMPY, so the 193 MB
+    device->host readback disappears — the axon tunnel's bulk D2H was
+    measured at ~0.35 MB/s on some hosts (~9 min for this array), which
+    dominated whole driver runs. Consumers upload (H2D is ~20-200 MB/s)
+    as needed; train_victim does so itself. The threefry DRAWS are
+    backend-invariant, but the f32 resize arithmetic is not — the images
+    differ in ulps from the former on-chip version (see the BENCHMARKS
+    round-5 config-5 sensitivity note for a measured consequence).
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -70,6 +72,15 @@ def make_dataset(key):
         noise = jax.random.uniform(kn, (N_TRAIN + N_VAL, SIZE, SIZE, 3)) * 0.25
         images = jnp.clip(base[labels] * 0.75 + noise, 0.0, 1.0)
     return np.asarray(images), np.asarray(labels)
+
+
+def victim_kwargs(name: str) -> dict:
+    """The realism drivers' shared create_model extras: stem_s2d on the
+    victims these benchmarks have always run with it (resnets/densenets;
+    kept as-is for comparability with earlier rounds' rows). Passing the
+    kwarg to a model whose ctor lacks the field raises — create_model
+    forwards unknown kwargs — so non-stem victims get an empty dict."""
+    return {"stem_s2d": True} if name.startswith(("resnet", "densenet")) else {}
 
 
 def train_victim(victim, images, labels, steps=150, batch=64, lr=2e-4):

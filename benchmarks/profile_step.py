@@ -214,9 +214,11 @@ def build_fab(batch=64, model="resnet50", size=224, steps=100):
     from dl_attack_on_imagenet_tpu.attacks import adil_core as core
     from dl_attack_on_imagenet_tpu.models import create_model
 
-    kwargs = {"stem_s2d": True} if model.startswith(("resnet", "densenet")) else {}
+    from fooling_realism import victim_kwargs
+
     victim = create_model(model, rng=jax.random.PRNGKey(0),
-                          dtype=jnp.bfloat16, **kwargs)
+                          dtype=jnp.bfloat16, input_size=size,
+                          **victim_kwargs(model))
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3))
     labels = core.predict_labels(victim.apply_fn, victim.variables, x)
     atk = FAB(victim, eps=8 / 255, steps=steps, n_classes=10)

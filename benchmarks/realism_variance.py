@@ -73,7 +73,7 @@ def main(victim_name="resnet50", train_steps=150):
 
     victim = create_model(
         victim_name, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        stem_s2d=victim_name.startswith(("resnet", "densenet")),
+        **fr.victim_kwargs(victim_name),
     )
     images, labels = fr.make_dataset(7)
     victim, final_loss, train_dt = fr.train_victim(

@@ -210,8 +210,9 @@ def _install_stubs():
                 self.samples = []
                 for c in self.classes:
                     cdir = os.path.join(root, c)
+                    # sorted() over the completed walk gives the
+                    # deterministic order (same as torchvision's)
                     for dirpath, dirnames, filenames in sorted(os.walk(cdir)):
-                        dirnames.sort()
                         for fname in sorted(filenames):
                             if fname.lower().endswith(self.IMG_EXTENSIONS):
                                 self.samples.append(
