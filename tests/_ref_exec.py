@@ -249,9 +249,43 @@ def _install_stubs():
         tv_d.pil_loader = pil_loader
         tv_d.folder = tv_d
         tv.datasets = tv_d
+        # main.py:5 / demo_dL_attack.py:4 import torchvision.models at
+        # module level; their pretrained-model constructors are only
+        # reached past the CUDA guard, so an empty module satisfies the
+        # imports (the entry scripts execute to their own guard).
+        tv_m = types.ModuleType("torchvision.models")
+        tv.models = tv_m
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv_t
         sys.modules["torchvision.datasets"] = tv_d
+        sys.modules["torchvision.models"] = tv_m
+
+    if "torchmetrics" not in sys.modules:
+        tmx = types.ModuleType("torchmetrics")
+
+        class Accuracy:
+            def __init__(self):
+                self.correct = 0
+                self.total = 0
+
+            def to(self, device):
+                return self
+
+            def __call__(self, preds, target):
+                c = int((preds.argmax(dim=-1) == target).sum())
+                self.correct += c
+                self.total += int(target.numel())
+                return torch.tensor(c / max(int(target.numel()), 1))
+
+            def compute(self):
+                return torch.tensor(self.correct / max(self.total, 1))
+
+            def reset(self):
+                self.correct = 0
+                self.total = 0
+
+        tmx.Accuracy = Accuracy
+        sys.modules["torchmetrics"] = tmx
 
     for key, val in _SLURM_ENV.items():
         os.environ.setdefault(key, val)
@@ -335,35 +369,7 @@ def load_reference_accuracy():
     required), so the reference is uncallable against current releases;
     the stub restores the historical behavior.
     """
-    import torch
-
     _install_stubs()
-    if "torchmetrics" not in sys.modules:
-        tmx = types.ModuleType("torchmetrics")
-
-        class Accuracy:
-            def __init__(self):
-                self.correct = 0
-                self.total = 0
-
-            def to(self, device):
-                return self
-
-            def __call__(self, preds, target):
-                c = int((preds.argmax(dim=-1) == target).sum())
-                self.correct += c
-                self.total += int(target.numel())
-                return torch.tensor(c / max(int(target.numel()), 1))
-
-            def compute(self):
-                return torch.tensor(self.correct / max(self.total, 1))
-
-            def reset(self):
-                self.correct = 0
-                self.total = 0
-
-        tmx.Accuracy = Accuracy
-        sys.modules["torchmetrics"] = tmx
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     import model_accuracy as ref_model_accuracy
